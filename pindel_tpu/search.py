@@ -1,0 +1,226 @@
+"""Close-end / far-end search drivers.
+
+Round-based reformulation of the reference's per-read control flow so that
+each round is one batched device kernel launch over all still-active reads:
+
+* close end (reference GetCloseEnd, pindel.cpp:2531-2576): up to four
+  attempts per read — (range 0, seq), (range 0, RC), (range 1, RC), (range 1,
+  seq) — stopping at the first attempt that yields unique points.  The RC flip
+  persists in the read (reference setUnmatchedSeq call at pindel.cpp:2545).
+* far end (reference SearchFarEnd, pindel.cpp:1001-1074): BreakDancer/RP
+  window clusters first, then geometrically growing windows (span 64*4^k)
+  around the last close-end anchor, stopping when close+far cover the read.
+
+The emission rules operate on LaneStats (counts per length x mismatch level),
+so any engine that produces LaneStats — the NumPy oracle or the TPU kernel —
+plugs in below.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pindel_tpu import dna
+from pindel_tpu.config import Settings
+from pindel_tpu.genome import SPACER, Chromosome
+from pindel_tpu.ops import search_np
+from pindel_tpu.ops.search_np import Lane, LaneStats
+from pindel_tpu.reads import (ANTISENSE, BACKWARD, FORWARD, MINUS, PLUS, SENSE,
+                              SplitRead, clean_unique_points)
+
+# An engine maps a batch of per-read lane lists to per-read LaneStats.
+Engine = Callable[[List[List[Lane]], List[int], int], List[LaneStats]]
+
+
+def numpy_engine(batch_lanes: List[List[Lane]], tsec_minus: List[int],
+                 mpm: int) -> List[LaneStats]:
+    return [search_np.merged_stats(lanes, tm, mpm)
+            for lanes, tm in zip(batch_lanes, tsec_minus)]
+
+
+def read_budget(read: SplitRead, settings: Settings,
+                maxmm: np.ndarray) -> Tuple[int, int]:
+    """(MAX_SNP_ERROR, TOTAL_SNP_ERROR_CHECKED_Minus) per read.
+
+    Reference: SPLIT_READ::setUnmatchedSeq, pindel.cpp:161-168.
+    """
+    max_snp = int(maxmm[read.read_length])
+    return max_snp, max_snp + settings.additional_mismatch
+
+
+def close_end_lane(chrom: Chromosome, read: SplitRead,
+                   range_index: int) -> Lane:
+    """Seed window + lane for one close-end attempt.
+
+    Reference: GetCloseEndInner, pindel.cpp:2271-2316.
+    """
+    n = read.read_length
+    if read.matched_d == PLUS:
+        q = dna.revcomp(read.seq_codes())
+        start = read.matched_rel_pos + SPACER - range_index * read.insert_size
+        end = start + (2 * range_index + 1) * read.insert_size
+        return Lane(chrom.seq, q, start, end, forward=True,
+                    direction=FORWARD, strand=ANTISENSE, chr_name=chrom.name)
+    else:
+        q = read.seq_codes()
+        end = read.matched_rel_pos + SPACER + range_index * read.insert_size
+        start = end - (2 * range_index + 1) * read.insert_size
+        return Lane(chrom.seq, q, start, end, forward=False,
+                    direction=BACKWARD, strand=SENSE, chr_name=chrom.name)
+
+
+def far_end_lanes(chrom: Chromosome, read: SplitRead,
+                  regions: Sequence[Tuple[int, int]]) -> List[Lane]:
+    """Both-strand lanes over far-end candidate regions.
+
+    Reference: SearchFarEndAtPos, farend_searcher.cpp:46-103.  The minus
+    strand (PD_Minus) is a backward lane over the reverse complement.
+    """
+    q = read.seq_codes()
+    qrc = dna.revcomp(q)
+    lanes: List[Lane] = []
+    for (start, end) in regions:
+        if start < 0:
+            start = end - 1
+        lanes.append(Lane(chrom.seq, q, start, end, forward=True,
+                          direction=FORWARD, strand=SENSE,
+                          chr_name=chrom.name))
+        lanes.append(Lane(chrom.seq, qrc, start, end, forward=False,
+                          direction=BACKWARD, strand=ANTISENSE,
+                          chr_name=chrom.name))
+    return lanes
+
+
+class Searcher:
+    """Runs close- and far-end search over batches of reads."""
+
+    def __init__(self, settings: Settings, engine: Engine = numpy_engine):
+        self.settings = settings
+        self.maxmm = settings.max_mismatch()
+        self.engine = engine
+
+    # ------------------------------------------------------------------ close
+    def map_close_ends(self, chrom: Chromosome,
+                       reads: Sequence[SplitRead]) -> None:
+        """Fill read.up_close, flipping orientation as the reference does."""
+        s = self.settings
+        active = [r for r in reads if r.read_length > 0]
+        # attempt schedule: (range_index, flip_before_attempt)
+        schedule = [(0, False), (0, True), (1, False), (1, True)]
+        for (range_index, flip) in schedule:
+            if not active:
+                break
+            if flip:
+                for r in active:
+                    r.seq = dna.decode(dna.revcomp(r.seq_codes()))
+            batch_lanes = [[close_end_lane(chrom, r, range_index)]
+                           for r in active]
+            tsecs = [read_budget(r, s, self.maxmm)[1] for r in active]
+            stats = self.engine(batch_lanes, tsecs, s.min_perfect_match_around_bp)
+            still: List[SplitRead] = []
+            for r, st, lanes in zip(active, stats, batch_lanes):
+                max_snp, _ = read_budget(r, s, self.maxmm)
+                ups, full_mm = search_np.emit_unique_points(
+                    st, lanes,
+                    bp_start=s.min_close, bp_end=r.read_length - 1,
+                    max_snp_error=max_snp,
+                    additional_mismatch=s.additional_mismatch,
+                    max_mismatch=self.maxmm,
+                    mpm=s.min_perfect_match_around_bp,
+                    mismatch_rate=s.max_allowed_mismatch_rate)
+                if ups:
+                    r.up_close = ups
+                    r.used = False
+                    r.close_end_mismatch = full_mm
+                else:
+                    still.append(r)
+            active = still
+        # the last scheduled attempt is (1, True); a read that failed all four
+        # attempts had its sequence flipped twice at range 0 and once at range
+        # 1 -> ends flipped; reference GetCloseEnd leaves it flipped likewise.
+
+    def finalize_close_ends(self, reads: Sequence[SplitRead]) -> List[SplitRead]:
+        """Keep reads with close ends; chain-clean the anchor list.
+
+        Reference: updateReadAfterCloseEndMapping, reader.cpp:1531-1554.
+        """
+        kept: List[SplitRead] = []
+        for r in reads:
+            if not r.up_close:
+                continue
+            r.used = False
+            r.unique_read = True
+            r.up_close = clean_unique_points(r.up_close)
+            first = r.up_close[0]
+            if r.matched_d == PLUS:
+                r.left_most_pos = first.abs_loc + 1 - first.length_str
+            else:
+                r.left_most_pos = first.abs_loc + first.length_str - r.read_length
+            if r.sample_name_to_number is None:
+                r.sample_name_to_number = {r.tag: 1}
+            kept.append(r)
+        return kept
+
+    # -------------------------------------------------------------------- far
+    def search_far_ends(self, chrom: Chromosome, reads: Sequence[SplitRead],
+                        bd_regions: Optional[Callable[[SplitRead],
+                                                      List[Tuple[int, int]]]] = None
+                        ) -> None:
+        """Fill read.up_far via escalating windows (and BD clusters first)."""
+        s = self.settings
+        active = [r for r in reads
+                  if not r.mapper_split and r.up_close
+                  and r.seq_codes()[0] != dna.N and not r.good_far_end_found()]
+
+        if bd_regions is not None:
+            with_bd = [(r, bd_regions(r)) for r in active]
+            with_bd = [(r, regs) for r, regs in with_bd if regs]
+            if with_bd:
+                self._far_round(chrom, [r for r, _ in with_bd],
+                                [regs for _, regs in with_bd])
+                active = [r for r in active if not r.good_far_end_found()]
+
+        span = 64
+        for _k in range(1, s.max_range_index + 2):
+            if not active:
+                break
+            regions = []
+            for r in active:
+                center = r.last_abs_loc_close_end()
+                start = center - span if center > span + SPACER else SPACER
+                if center + span + SPACER < chrom.comp_size:
+                    end = center + span
+                else:
+                    end = chrom.comp_size - SPACER
+                regions.append([(start, end)])
+            self._far_round(chrom, active, regions)
+            active = [r for r in active if not r.good_far_end_found()]
+            span *= 4
+
+    def _far_round(self, chrom: Chromosome, reads: List[SplitRead],
+                   regions: List[List[Tuple[int, int]]]) -> None:
+        s = self.settings
+        batch_lanes = [far_end_lanes(chrom, r, regs)
+                       for r, regs in zip(reads, regions)]
+        tsecs = [read_budget(r, s, self.maxmm)[1] for r in reads]
+        stats = self.engine(batch_lanes, tsecs, s.min_perfect_match_around_bp)
+        for r, st, lanes in zip(reads, stats, batch_lanes):
+            if not any(l.end > l.start for l in lanes):
+                continue
+            max_snp, _ = read_budget(r, s, self.maxmm)
+            ups, full_mm = search_np.emit_unique_points(
+                st, lanes,
+                bp_start=10,  # hardcoded in reference, farend_searcher.cpp:90
+                bp_end=r.read_length - 1,
+                max_snp_error=max_snp,
+                additional_mismatch=s.additional_mismatch,
+                max_mismatch=self.maxmm,
+                mpm=s.min_perfect_match_around_bp,
+                mismatch_rate=s.max_allowed_mismatch_rate)
+            # NewUPFarIsBetter, farend_searcher.cpp:30-44
+            new_max = ups[-1].length_str if ups else 0
+            if new_max >= r.max_len_far():
+                r.up_far = ups
+                if ups:
+                    r.far_end_mismatch = full_mm
