@@ -11,9 +11,10 @@ each round is one batched device kernel launch over all still-active reads:
   window clusters first, then geometrically growing windows (span 64*4^k)
   around the last close-end anchor, stopping when close+far cover the read.
 
-The emission rules operate on LaneStats (counts per length x mismatch level),
-so any engine that produces LaneStats — the NumPy oracle or the TPU kernel —
-plugs in below.
+Backends implement ``run(batch_lanes, bp_start, max_snps, tsec_minus)`` and
+return per-read (unique points, whole-read mismatch count of the last point):
+the NumPy oracle (exact-semantics CPU reference) or the batched JAX/TPU
+engine (ops/engine_jax.py).
 """
 from __future__ import annotations
 
@@ -25,28 +26,36 @@ from pindel_tpu import dna
 from pindel_tpu.config import Settings
 from pindel_tpu.genome import SPACER, Chromosome
 from pindel_tpu.ops import search_np
-from pindel_tpu.ops.search_np import Lane, LaneStats
+from pindel_tpu.ops.search_np import Lane
 from pindel_tpu.reads import (ANTISENSE, BACKWARD, FORWARD, MINUS, PLUS, SENSE,
-                              SplitRead, clean_unique_points)
-
-# An engine maps a batch of per-read lane lists to per-read LaneStats.
-Engine = Callable[[List[List[Lane]], List[int], int], List[LaneStats]]
+                              SplitRead, UniquePoint, clean_unique_points)
 
 
-def numpy_engine(batch_lanes: List[List[Lane]], tsec_minus: List[int],
-                 mpm: int) -> List[LaneStats]:
-    return [search_np.merged_stats(lanes, tm, mpm)
-            for lanes, tm in zip(batch_lanes, tsec_minus)]
+class NumpyBackend:
+    """Exact-semantics CPU backend (pindel_tpu.ops.search_np)."""
 
+    def __init__(self, settings: Settings, maxmm: np.ndarray):
+        self.settings = settings
+        self.maxmm = maxmm
 
-def read_budget(read: SplitRead, settings: Settings,
-                maxmm: np.ndarray) -> Tuple[int, int]:
-    """(MAX_SNP_ERROR, TOTAL_SNP_ERROR_CHECKED_Minus) per read.
-
-    Reference: SPLIT_READ::setUnmatchedSeq, pindel.cpp:161-168.
-    """
-    max_snp = int(maxmm[read.read_length])
-    return max_snp, max_snp + settings.additional_mismatch
+    def run(self, batch_lanes: List[List[Lane]], bp_start: int,
+            max_snps: Sequence[int], tsec_minus: Sequence[int]
+            ) -> List[Tuple[List[UniquePoint], int]]:
+        s = self.settings
+        out = []
+        for lanes, max_snp, tm in zip(batch_lanes, max_snps, tsec_minus):
+            n = int(lanes[0].query.shape[0])
+            stats = search_np.merged_stats(lanes, tm,
+                                           s.min_perfect_match_around_bp)
+            ups, full_mm = search_np.emit_unique_points(
+                stats, lanes, bp_start=bp_start, bp_end=n - 1,
+                max_snp_error=max_snp,
+                additional_mismatch=s.additional_mismatch,
+                max_mismatch=self.maxmm,
+                mpm=s.min_perfect_match_around_bp,
+                mismatch_rate=s.max_allowed_mismatch_rate)
+            out.append((ups, full_mm))
+        return out
 
 
 def close_end_lane(chrom: Chromosome, read: SplitRead,
@@ -55,7 +64,6 @@ def close_end_lane(chrom: Chromosome, read: SplitRead,
 
     Reference: GetCloseEndInner, pindel.cpp:2271-2316.
     """
-    n = read.read_length
     if read.matched_d == PLUS:
         q = dna.revcomp(read.seq_codes())
         start = read.matched_rel_pos + SPACER - range_index * read.insert_size
@@ -95,10 +103,18 @@ def far_end_lanes(chrom: Chromosome, read: SplitRead,
 class Searcher:
     """Runs close- and far-end search over batches of reads."""
 
-    def __init__(self, settings: Settings, engine: Engine = numpy_engine):
+    def __init__(self, settings: Settings, backend=None):
         self.settings = settings
         self.maxmm = settings.max_mismatch()
-        self.engine = engine
+        self.backend = backend or NumpyBackend(settings, self.maxmm)
+
+    def budget(self, read: SplitRead) -> Tuple[int, int]:
+        """(MAX_SNP_ERROR, TOTAL_SNP_ERROR_CHECKED_Minus) per read.
+
+        Reference: SPLIT_READ::setUnmatchedSeq, pindel.cpp:161-168.
+        """
+        max_snp = int(self.maxmm[read.read_length])
+        return max_snp, max_snp + self.settings.additional_mismatch
 
     # ------------------------------------------------------------------ close
     def map_close_ends(self, chrom: Chromosome,
@@ -116,19 +132,12 @@ class Searcher:
                     r.seq = dna.decode(dna.revcomp(r.seq_codes()))
             batch_lanes = [[close_end_lane(chrom, r, range_index)]
                            for r in active]
-            tsecs = [read_budget(r, s, self.maxmm)[1] for r in active]
-            stats = self.engine(batch_lanes, tsecs, s.min_perfect_match_around_bp)
+            budgets = [self.budget(r) for r in active]
+            results = self.backend.run(
+                batch_lanes, s.min_close,
+                [b[0] for b in budgets], [b[1] for b in budgets])
             still: List[SplitRead] = []
-            for r, st, lanes in zip(active, stats, batch_lanes):
-                max_snp, _ = read_budget(r, s, self.maxmm)
-                ups, full_mm = search_np.emit_unique_points(
-                    st, lanes,
-                    bp_start=s.min_close, bp_end=r.read_length - 1,
-                    max_snp_error=max_snp,
-                    additional_mismatch=s.additional_mismatch,
-                    max_mismatch=self.maxmm,
-                    mpm=s.min_perfect_match_around_bp,
-                    mismatch_rate=s.max_allowed_mismatch_rate)
+            for r, (ups, full_mm) in zip(active, results):
                 if ups:
                     r.up_close = ups
                     r.used = False
@@ -136,9 +145,8 @@ class Searcher:
                 else:
                     still.append(r)
             active = still
-        # the last scheduled attempt is (1, True); a read that failed all four
-        # attempts had its sequence flipped twice at range 0 and once at range
-        # 1 -> ends flipped; reference GetCloseEnd leaves it flipped likewise.
+        # a read that failed all four attempts ends flipped relative to input,
+        # exactly as the reference's persistent setUnmatchedSeq flips do.
 
     def finalize_close_ends(self, reads: Sequence[SplitRead]) -> List[SplitRead]:
         """Keep reads with close ends; chain-clean the anchor list.
@@ -200,24 +208,14 @@ class Searcher:
 
     def _far_round(self, chrom: Chromosome, reads: List[SplitRead],
                    regions: List[List[Tuple[int, int]]]) -> None:
-        s = self.settings
         batch_lanes = [far_end_lanes(chrom, r, regs)
                        for r, regs in zip(reads, regions)]
-        tsecs = [read_budget(r, s, self.maxmm)[1] for r in reads]
-        stats = self.engine(batch_lanes, tsecs, s.min_perfect_match_around_bp)
-        for r, st, lanes in zip(reads, stats, batch_lanes):
-            if not any(l.end > l.start for l in lanes):
-                continue
-            max_snp, _ = read_budget(r, s, self.maxmm)
-            ups, full_mm = search_np.emit_unique_points(
-                st, lanes,
-                bp_start=10,  # hardcoded in reference, farend_searcher.cpp:90
-                bp_end=r.read_length - 1,
-                max_snp_error=max_snp,
-                additional_mismatch=s.additional_mismatch,
-                max_mismatch=self.maxmm,
-                mpm=s.min_perfect_match_around_bp,
-                mismatch_rate=s.max_allowed_mismatch_rate)
+        budgets = [self.budget(r) for r in reads]
+        results = self.backend.run(
+            batch_lanes,
+            10,  # far-end min length hardcoded in reference, farend_searcher.cpp:90
+            [b[0] for b in budgets], [b[1] for b in budgets])
+        for r, (ups, full_mm) in zip(reads, results):
             # NewUPFarIsBetter, farend_searcher.cpp:30-44
             new_max = ups[-1].length_str if ups else 0
             if new_max >= r.max_len_far():
