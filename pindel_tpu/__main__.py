@@ -1,0 +1,63 @@
+"""CLI entry: ``python -m pindel_tpu -f ref.fa -p reads.txt -o prefix``.
+
+Flag names mirror the reference CLI (fn_parameters.cpp:17-351); only the
+subset implemented so far is accepted.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pindel_tpu.config import Settings
+from pindel_tpu.pipeline import run_files
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="pindel_tpu",
+        description="TPU-native structural variant discovery "
+                    "(pindel-compatible)")
+    ap.add_argument("-f", "--fasta", required=True)
+    ap.add_argument("-p", "--pindel-file", required=True)
+    ap.add_argument("-o", "--output-prefix", required=True)
+    ap.add_argument("-c", "--chromosome", default="ALL")
+    ap.add_argument("-x", "--max_range_index", type=int, default=2)
+    ap.add_argument("-w", "--window_size", type=float, default=5.0)
+    ap.add_argument("-e", "--sequencing_error_rate", type=float, default=0.01)
+    ap.add_argument("-E", "--sensitivity", type=float, default=0.95)
+    ap.add_argument("-u", "--maximum_allowed_mismatch_rate", type=float,
+                    default=0.02)
+    ap.add_argument("-m", "--min_perfect_match_around_BP", type=int,
+                    default=3)
+    ap.add_argument("-a", "--additional_mismatch", type=int, default=1)
+    ap.add_argument("-d", "--min_num_matched_bases", type=int, default=30)
+    ap.add_argument("-B", "--balance_cutoff", type=int, default=100)
+    ap.add_argument("-M", "--minimum_support_for_event", type=int, default=1)
+    ap.add_argument("-s", "--report_close_mapped_reads", action="store_true")
+    ap.add_argument("-S", "--report_only_close_mapped_reads",
+                    action="store_true")
+    ap.add_argument("--backend", choices=["numpy", "jax"], default="jax")
+    args = ap.parse_args(argv)
+
+    s = Settings(
+        max_range_index=args.max_range_index,
+        window_size_mb=args.window_size,
+        seq_error_rate=args.sequencing_error_rate,
+        sensitivity=args.sensitivity,
+        max_allowed_mismatch_rate=args.maximum_allowed_mismatch_rate,
+        min_perfect_match_around_bp=args.min_perfect_match_around_BP,
+        additional_mismatch=args.additional_mismatch,
+        min_num_matched_bases=args.min_num_matched_bases,
+        balance_cutoff=args.balance_cutoff,
+        num_reads_to_report_cutoff=args.minimum_support_for_event,
+        report_close_mapped_reads=args.report_close_mapped_reads,
+        report_only_close_mapped_reads=args.report_only_close_mapped_reads,
+        region=args.chromosome,
+    )
+    run_files(args.fasta, args.pindel_file, args.output_prefix,
+              settings=s, backend=args.backend)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

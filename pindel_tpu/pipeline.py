@@ -1,0 +1,240 @@
+"""End-to-end discovery pipeline: windows → search → detect → report.
+
+Mirrors the reference driver (pindel.cpp:1581-1990): per-chromosome BED
+regions, 5 Mb ``LoopingSearchWindow`` scan, per-window read intake
+(ReadInRead, reader.cpp:196-361), close/far anchor search (device
+backends), detector cascade (SearchSVs, pindel.cpp:1141-1176) and report
+emission.  Reference quirks preserved:
+
+* reads whose BPRight transgresses the window edge are deferred to
+  ``FutureReads_SR`` which the driver then clears — i.e. dropped
+  (pindel.cpp:1919-1921 insert is a no-op because FutureReads is always
+  empty at that point; the clear happens at :1961-1976);
+* ``g_maxPos`` early-exit for pindel-format input (pindel.cpp:469-471);
+* ``MatchedRelPos`` clamped to [0, biolSize] after window filtering.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, TextIO
+
+from pindel_tpu import dna
+from pindel_tpu.config import Settings
+from pindel_tpu.events.detect import (SearchDeletions, SearchShortInsertions,
+                                      WindowContext, search_indels_nt)
+from pindel_tpu.genome import SPACER, Chromosome, Genome
+from pindel_tpu.reads import SplitRead, read_pindel_file
+from pindel_tpu.report.reporter import (ReporterState, sort_output_d,
+                                        sort_output_di, sort_output_si)
+from pindel_tpu.search import Searcher
+
+AROUND_REGION_BUFFER = 10_000   # pindel.cpp:127
+
+
+@dataclasses.dataclass
+class BedRegion:
+    chr_name: str
+    start: int
+    end: int
+
+
+class LoopingSearchWindow:
+    """Reference pindel.h:718-737, pindel.cpp:344-473."""
+
+    def __init__(self, chrom: Chromosome, bin_size: int,
+                 bed_start: int, bed_end: int):
+        self.chrom = chrom
+        self.bin_size = bin_size
+        self.official_start = bed_start
+        self.global_start = max(bed_start - AROUND_REGION_BUFFER, 0) \
+            if bed_start >= AROUND_REGION_BUFFER else 0
+        self.official_end = bed_end
+        self.global_end = min(chrom.biol_size, bed_end + AROUND_REGION_BUFFER)
+        self.current_start = self.global_start
+        self.displayed_start = self.official_start
+        self._update_ends()
+
+    def _update_ends(self):
+        self.current_end = min(self.current_start + self.bin_size,
+                               self.global_end)
+        self.displayed_end = min(self.displayed_start + self.bin_size,
+                                 self.official_end)
+
+    def next(self):
+        self.current_start += self.bin_size
+        self.displayed_start += self.bin_size
+        self._update_ends()
+
+    def finished(self, pindel_input: bool, g_max_pos: int) -> bool:
+        if pindel_input and self.current_start >= g_max_pos:
+            return True
+        return self.current_start > self.global_end
+
+
+class Pipeline:
+    def __init__(self, settings: Settings, genome: Genome,
+                 backend_factory=None):
+        self.settings = settings
+        self.genome = genome
+        self.state = ReporterState(settings)
+        self.searcher = Searcher(settings)
+        self.backend_factory = backend_factory  # chrom -> backend
+        self.g_max_pos = 0
+        self.input_reads: List[SplitRead] = []
+        self._outputs: Dict[str, TextIO] = {}
+
+    # ------------------------------------------------------------------ io
+    def load_pindel_input(self, path: str) -> None:
+        self.input_reads = list(read_pindel_file(path))
+
+    def create_output_files(self) -> None:
+        """TestFileForOutput truncation at init (pindel.cpp:932-938) plus
+        the unconditionally-created _RP / _INT_final (pindel.cpp:1767,1538)."""
+        for suffix in ("SI", "D", "TD", "INV", "LI", "BP", "CloseEndMapped",
+                       "RP", "INT_final"):
+            open(self.settings.out(suffix), "w").close()
+
+    def _out(self, suffix: str) -> TextIO:
+        if suffix not in self._outputs:
+            self._outputs[suffix] = open(self.settings.out(suffix), "a")
+        return self._outputs[suffix]
+
+    def close(self) -> None:
+        for fh in self._outputs.values():
+            fh.close()
+        self._outputs.clear()
+
+    # -------------------------------------------------------------- intake
+    def _window_reads(self, chrom: Chromosome,
+                      window: LoopingSearchWindow) -> List[SplitRead]:
+        """ReadInRead filter/clamp semantics (reader.cpp:227-246)."""
+        import copy
+        taken: List[SplitRead] = []
+        for read in self.input_reads:
+            if read.matched_rel_pos > self.g_max_pos:
+                self.g_max_pos = read.matched_rel_pos
+            if (read.frag_name == chrom.name
+                    and read.matched_rel_pos >= window.current_start
+                    and read.matched_rel_pos < window.current_end):
+                r = copy.deepcopy(read)
+                if r.matched_rel_pos > chrom.biol_size:
+                    r.matched_rel_pos = chrom.biol_size
+                if r.matched_rel_pos < 0:
+                    r.matched_rel_pos = 0
+                taken.append(r)
+        return taken
+
+    # ----------------------------------------------------------------- run
+    def run(self, regions: Optional[List[BedRegion]] = None) -> None:
+        s = self.settings
+        if regions is None:
+            regions = [BedRegion(c.name, 1, c.biol_size)
+                       for c in self.genome]
+        for bed in regions:
+            chrom = self.genome.get(bed.chr_name)
+            if chrom is None:
+                raise ValueError(f"no chromosome {bed.chr_name}")
+            chr_seq = chrom.seq_str(0, chrom.comp_size)
+            self.state.mask = bytearray(b"N" * chrom.comp_size)
+            box_size = max(chrom.comp_size // 30000, 1)
+            num_boxes = chrom.comp_size * 2 // box_size + 1
+            backend = (self.backend_factory(chrom)
+                       if self.backend_factory else None)
+            if backend is not None:
+                self.searcher.backend = backend
+
+            window = LoopingSearchWindow(chrom, s.window_size,
+                                         bed.start, bed.end)
+            while True:
+                self.state.region_start = window.current_start
+                self.state.region_end = window.current_end
+                reads = self._window_reads(chrom, window)
+                self.searcher.map_close_ends(chrom, reads)
+                kept = self.searcher.finalize_close_ends(reads)
+                for r in kept:
+                    if self.state.report_length < r.read_length:
+                        self.state.report_length = r.read_length
+                    self.state.sample_names.add(r.tag)
+                if kept:
+                    if s.report_close_mapped_reads or \
+                            s.report_only_close_mapped_reads:
+                        out = self._out("CloseEndMapped")
+                        for r in kept:
+                            out.write(f"{r.name}\n{r.seq}\n{r.matched_d}"
+                                      f"\t{r.frag_name}\t{r.matched_rel_pos}"
+                                      f"\t{r.ms}\t{r.insert_size}"
+                                      f"\t{r.tag}\n")
+                    if not s.report_only_close_mapped_reads:
+                        self.searcher.search_far_ends(chrom, kept)
+                        for r in kept:
+                            if r.up_far:
+                                r.far_frag_name = r.up_far[0].chr_name
+                                r.matched_far_d = r.up_far[0].strand
+                        self._search_svs(kept, chr_seq, window,
+                                         box_size, num_boxes, bed)
+                window.next()
+                if window.finished(True, self.g_max_pos):
+                    break
+
+    def _search_svs(self, reads: List[SplitRead], chr_seq: str,
+                    window: LoopingSearchWindow, box_size: int,
+                    num_boxes: int, bed: BedRegion) -> None:
+        """SearchSVs detector cascade (pindel.cpp:1141-1176)."""
+        s = self.settings
+
+        def ctx() -> WindowContext:
+            return WindowContext(chr_seq=chr_seq,
+                                 window_end=window.current_end,
+                                 region_start=bed.start,
+                                 region_end=bed.end,
+                                 box_size=box_size, num_boxes=num_boxes,
+                                 future=[])
+
+        def boxes() -> List[List[int]]:
+            return [[] for _ in range(num_boxes)]
+
+        d_boxes = boxes()
+        SearchDeletions().search(reads, ctx(), d_boxes)
+        sort_output_d(reads, d_boxes, chr_seq, self._out("D"), self.state)
+
+        di_boxes = boxes()
+        search_indels_nt(reads, ctx(), di_boxes, s)
+        sort_output_di(reads, di_boxes, chr_seq, self._out("D"),
+                       self._out("INV"), self.state)
+
+        # TD and INV detectors land next; their files are created empty so
+        # downstream tooling sees the full reference file set.
+        self._out("TD")
+        self._out("INV")
+
+        si_boxes = boxes()
+        SearchShortInsertions().search(reads, ctx(), si_boxes)
+        sort_output_si(reads, si_boxes, chr_seq, self._out("SI"), self.state)
+
+        self._out("LI")
+        self._out("BP")
+
+
+def run_files(reference_fa: str, pindel_file: str, output_prefix: str,
+              settings: Optional[Settings] = None,
+              backend: str = "numpy") -> Settings:
+    """Convenience entry: -f/-p/-o equivalent."""
+    s = settings or Settings()
+    s.reference_filename = reference_fa
+    s.pindel_filename = pindel_file
+    s.output_prefix = output_prefix
+    genome = Genome.from_fasta(reference_fa)
+    factory = None
+    if backend == "jax":
+        from pindel_tpu.ops.engine_jax import JaxBackend
+
+        def factory(chrom):
+            return JaxBackend(s, s.max_mismatch(), chrom.seq)
+    pipe = Pipeline(s, genome, backend_factory=factory)
+    pipe.create_output_files()
+    pipe.load_pindel_input(pindel_file)
+    try:
+        pipe.run()
+    finally:
+        pipe.close()
+    return s

@@ -66,6 +66,10 @@ class SplitRead:
     bp_right: int = 0
     indel_size: int = 0
     nt_str: str = ""
+    nt_size: int = 0              # NOT derived from nt_str (reference quirk:
+                                  # SI sets NT_str but leaves NT_size 0)
+    matched_far_d: str = ""
+    max_snp_error: int = 0        # g_maxMismatch[len], set by the searcher
     close_end_mismatch: int = 0
     far_end_mismatch: int = 0
     left_most_pos: int = 0
@@ -81,10 +85,6 @@ class SplitRead:
     @property
     def read_length(self) -> int:
         return len(self.seq)
-
-    @property
-    def nt_size(self) -> int:
-        return len(self.nt_str)
 
     def seq_codes(self) -> np.ndarray:
         return dna.encode(self.seq)

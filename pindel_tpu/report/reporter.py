@@ -1,0 +1,619 @@
+"""Clustering and bit-identical text report emission.
+
+Ports the reference reporter's box clustering, ordering quirks and exact
+output formats (reporter.cpp): ``smaller``/``CompareFragName`` comparator
+(:908-942), selection-style ``bubblesortReads`` that reorders equal keys
+(:932-942), ``markDuplicates`` (:946-972), Indel4output run grouping, the
+``OutputDeletions``/``OutputSIs``/``OutputDI``/``OutputShortInversion``
+writers (:271-880, :1588-1697) and the global counters
+(output_file_data.*, NumberOfSIsInstances, g_numberOfInvInstances).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, TextIO
+
+from pindel_tpu.config import Settings
+from pindel_tpu.events.canonical import (cap2low, get_real_start_4_deletion,
+                                         get_real_start_4_insertion,
+                                         is_inversion, report_event,
+                                         revcomp_str)
+from pindel_tpu.genome import SPACER
+from pindel_tpu.reads import MINUS, PLUS, SplitRead
+
+
+def compare_frag_name(a: str, b: str) -> bool:
+    """Reference CompareFragName (reporter.cpp:875-906), quirks included."""
+    if len(a) > len(b):
+        for pos in range(len(b)):
+            if ord(a[pos]) > ord(b[pos]):
+                return True
+            if ord(a[pos]) < ord(b[pos]):
+                return False
+    else:
+        # both the a<b and a==b branches compare the common prefix only
+        # (the reference's inner double loop reduces to this)
+        for pos in range(min(len(a), len(b))):
+            if ord(a[pos]) > ord(b[pos]):
+                return True
+            if ord(a[pos]) < ord(b[pos]):
+                return False
+    return False
+
+
+def smaller(a: SplitRead, b: SplitRead) -> bool:
+    """Reference ``smaller`` (reporter.cpp:908-930)."""
+    if a.frag_name != b.frag_name:
+        return compare_frag_name(a.frag_name, b.frag_name)
+    if a.bp_left != b.bp_left:
+        return a.bp_left < b.bp_left
+    if a.bp_right != b.bp_right:
+        return a.bp_right < b.bp_right
+    if a.indel_size != b.indel_size:
+        return a.indel_size < b.indel_size
+    if a.nt_size != b.nt_size:
+        return a.nt_size < b.nt_size
+    if a.bp != b.bp:
+        return a.bp < b.bp
+    return False
+
+
+def bubblesort_reads(reads: List[SplitRead], indices: List[int]) -> None:
+    """Selection-style sort that swaps on ties (reporter.cpp:932-942)."""
+    n = len(indices)
+    for first in range(n - 1):
+        for second in range(first + 1, n):
+            if not smaller(reads[indices[first]], reads[indices[second]]):
+                indices[first], indices[second] = (indices[second],
+                                                   indices[first])
+
+
+def mark_duplicates(reads: List[SplitRead], indices: List[int]) -> None:
+    """Reference markDuplicates (reporter.cpp:946-972)."""
+    n = len(indices)
+    for first in range(n - 1):
+        a = reads[indices[first]]
+        if not a.unique_read:
+            continue
+        for second in range(first + 1, n):
+            b = reads[indices[second]]
+            if a.left == b.left and a.right == b.right and a.name == b.name:
+                b.unique_read = False
+
+
+@dataclasses.dataclass
+class Indel4output:
+    """Reference pindel.h:402-451."""
+
+    bp_left: int = 0
+    bp_right: int = 0
+    indel_size: int = 0
+    start: int = 0
+    end: int = 0
+    real_start: int = 0
+    real_end: int = 0
+    nt_size: int = 0
+    whether_report: bool = False
+    indel_str: str = ""
+    chr_name: str = ""
+    support: int = 0
+
+    def initialize(self, start: int, read: SplitRead) -> None:
+        self.start = start
+        self.end = start
+        self.support = 1
+        self.indel_size = read.indel_size
+        self.indel_str = read.nt_str
+        self.bp_left = read.bp_left
+        self.bp_right = read.bp_right
+        self.whether_report = True
+        self.chr_name = read.frag_name
+        self.real_start = 0
+        self.real_end = 0
+        self.nt_size = 0
+
+    def complete(self) -> None:
+        self.real_start = self.bp_left
+        self.real_end = self.bp_right
+        self.support = self.end - self.start + 1
+
+
+class ReporterState:
+    """Cross-window globals of the reference reporter.
+
+    g_sampleNames (std::set → sorted order), g_reportLength, the SV
+    counters, the per-chromosome mask, and the ref-coverage region.
+    """
+
+    def __init__(self, settings: Settings):
+        self.settings = settings
+        self.sample_names: set = set()
+        self.report_length = 1          # g_reportLength
+        self.template_counter = 0       # OutputFileData m_templateCounter
+        self.nontemplate_counter = 0
+        self.num_si = 0                 # NumberOfSIsInstances
+        self.num_inv = 0                # g_numberOfInvInstances
+        self.mask: Optional[bytearray] = None   # CurrentChrMask
+        self.region_start = 0           # g_RegionStart
+        self.region_end = 0             # g_RegionEnd
+        # g_RefCoverageRegion: per-position per-sample counts; pindel-format
+        # input has no reference-supporting reads so all counts are zero
+        self.ref_coverage: Optional[Dict[str, List[int]]] = None
+
+    @property
+    def sv_index(self) -> int:
+        return self.template_counter + self.nontemplate_counter
+
+    def sorted_samples(self) -> List[str]:
+        return sorted(self.sample_names)
+
+    def coverage_at(self, pos: int, sample_idx: int) -> int:
+        # zero-filled unless BAM mode populates ref_coverage
+        return 0
+
+    def mask_set(self, padded_pos: int) -> None:
+        if self.mask is not None and 0 <= padded_pos < len(self.mask):
+            self.mask[padded_pos] = ord("B")
+
+
+# --------------------------------------------------------------- support math
+
+def support_counts(reads: List[SplitRead], c_s: int, c_e: int,
+                   state: ReporterState):
+    """calculateSupportPerTag + PerStrand (reporter.cpp:68-117)."""
+    samples = state.sorted_samples()
+    idx = {s: i for i, s in enumerate(samples)}
+    per = [[0, 0, 0, 0] for _ in samples]   # NumPlus, NumMinus, NumUPlus, NumUMinus
+    for i in range(c_s, c_e + 1):
+        r = reads[i]
+        s2n = r.sample_name_to_number or {r.tag: 1}
+        for name, count in s2n.items():
+            t = idx[name]
+            if r.matched_d == PLUS:
+                per[t][0] += count
+                if r.unique_read:
+                    per[t][2] += count
+            else:
+                per[t][1] += count
+                if r.unique_read:
+                    per[t][3] += count
+    left_s = sum(p[0] for p in per)
+    left_u = sum(p[2] for p in per)
+    right_s = sum(p[1] for p in per)
+    right_u = sum(p[3] for p in per)
+    num_reads = left_s + right_s
+    num_u_reads = left_u + right_u
+    n_sup_samples = sum(1 for p in per if p[0] + p[1])
+    n_u_sup_samples = sum(1 for p in per if p[2] + p[3])
+    return (samples, per, left_s, left_u, right_s, right_u,
+            num_reads, num_u_reads, n_sup_samples, n_u_sup_samples)
+
+
+def _sample_columns(state: ReporterState, samples, per,
+                    bp_left: int, bp_right: int) -> str:
+    """Per-sample coverage+support columns shared by all writers."""
+    cols = []
+    in_start = (bp_left + 2 >= state.region_start
+                and bp_left + 2 < state.region_end)
+    in_end = (bp_right > state.region_start
+              and bp_right < state.region_end)
+    for i, name in enumerate(samples):
+        cov_s = state.coverage_at(bp_left + 2, i) if in_start else -1
+        cov_e = state.coverage_at(bp_right, i) if in_end else -1
+        cols.append(f"\t{name} {cov_s} {cov_e} "
+                    f"{per[i][0]} {per[i][2]} {per[i][1]} {per[i][3]}")
+    return "".join(cols)
+
+
+HASHLINE = "#" * 100
+
+
+def _sum_ms(reads, c_s, c_e):
+    return sum(reads[i].ms for i in range(c_s, c_e + 1))
+
+
+# ------------------------------------------------------------------- writers
+
+def output_deletions(reads: List[SplitRead], chr_seq: str, c_s: int, c_e: int,
+                     real_start: int, real_end: int, out: TextIO,
+                     state: ReporterState) -> None:
+    """Reference OutputDeletions (reporter.cpp:271-446)."""
+    (samples, per, left_s, left_u, right_s, right_u,
+     num_reads, num_u, n_sup, n_u_sup) = support_counts(reads, c_s, c_e, state)
+    first = reads[c_s]
+    easy_score = (left_s + 1) * (right_s + 1)
+    if first.indel_size < 14:
+        gap_size = first.indel_size
+    else:
+        gap_size = 13 + int(math.log10(first.indel_size - 10))
+    state.mask_set(first.bp_left + SPACER)
+    state.mask_set(first.bp_right + SPACER)
+    state.mask_set(real_start + SPACER)
+    state.mask_set(real_end + SPACER)
+
+    out.write(HASHLINE + "\n")
+    out.write(f"{state.sv_index}\tD {first.indel_size}"
+              f"\tNT {first.nt_size} \"{first.nt_str}\""
+              f"\tChrID {first.frag_name}"
+              f"\tBP {first.bp_left + 1}\t{first.bp_right + 1}"
+              f"\tBP_range {real_start + 1}\t{real_end + 1}"
+              f"\tSupports {num_reads}\t{num_u}"
+              f"\t+ {left_s}\t{left_u}\t- {right_s}\t{right_u}"
+              f"\tS1 {easy_score}"
+              f"\tSUM_MS {_sum_ms(reads, c_s, c_e)}"
+              f"\t{len(samples)}\tNumSupSamples {n_sup}\t{n_u_sup}"
+              + _sample_columns(state, samples, per,
+                                first.bp_left, first.bp_right) + "\n")
+
+    rl = state.report_length
+    pos = first.left - rl + first.bp + 1
+    line = chr_seq[pos:pos + rl]
+    if first.indel_size >= 14:
+        line += cap2low(chr_seq[first.left + first.bp + 1:
+                                first.left + first.bp + 6])
+        line += f"<{first.indel_size - 10}>"
+        p2 = first.right - first.read_length + first.bp - 3
+        line += cap2low(chr_seq[p2:p2 + 5])
+    else:
+        line += cap2low(chr_seq[first.left + first.bp + 1:
+                                first.left + first.bp + 1 + gap_size])
+    p3 = first.left + first.bp + 1 + first.indel_size
+    line += chr_seq[p3:p3 + rl - gap_size]
+    out.write(line + "\n")
+
+    for gi in range(c_s, c_e + 1):
+        r = reads[gi]
+        space_before = rl - r.bp - 1
+        parts = [" " * max(space_before, 0)]
+        seq = r.seq if r.matched_d == MINUS else revcomp_str(r.seq)
+        parts.append(seq[:r.bp + 1])
+        parts.append(" " * gap_size)
+        parts.append(seq[r.bp + 1: r.bp + 1 + r.read_length - r.bp])
+        space_before_d = rl + rl - space_before - r.read_length
+        parts.append(" " * max(space_before_d, 0))
+        parts.append(f"\t{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
+                     f"\t{r.tag}\t{r.name}")
+        out.write("".join(parts) + "\n")
+
+
+def output_sis(reads: List[SplitRead], chr_seq: str, c_s: int, c_e: int,
+               real_start: int, real_end: int, out: TextIO,
+               state: ReporterState) -> None:
+    """Reference OutputSIs (reporter.cpp:637-756)."""
+    (samples, per, left_s, left_u, right_s, right_u,
+     num_reads, num_u, n_sup, n_u_sup) = support_counts(reads, c_s, c_e, state)
+    first = reads[c_s]
+    easy_score = (left_s + 1) * (right_s + 1)
+    state.mask_set(first.bp_left + SPACER)
+    state.mask_set(first.bp_right + SPACER)
+    state.mask_set(real_start + SPACER)
+    state.mask_set(real_end + SPACER)
+
+    # consensus NT string: majority vote over read NT strings
+    counts: Dict[str, int] = {}
+    for i in range(c_s, c_e + 1):
+        counts[reads[i].nt_str] = counts.get(reads[i].nt_str, 0) + 1
+    consensus, best = "", 0
+    for nt in sorted(counts):          # std::map iterates keys in order
+        if counts[nt] > best:
+            best = counts[nt]
+            consensus = nt
+
+    out.write(HASHLINE + "\n")
+    out.write(f"{state.num_si}\tI {first.indel_size}"
+              f"\tNT {first.indel_size} \"{consensus}\""
+              f"\tChrID {first.frag_name}"
+              f"\tBP {first.bp_left + 1}\t{first.bp_right + 1}"
+              f"\tBP_range {real_start + 1}\t{real_end + 1}"
+              f"\tSupports {num_reads}\t{num_u}"
+              f"\t+ {left_s}\t{left_u}\t- {right_s}\t{right_u}"
+              f"\tS1 {easy_score}"
+              f"\tSUM_MS {_sum_ms(reads, c_s, c_e)}"
+              f"\t{len(samples)}\tNumSupSamples {n_sup}\t{n_u_sup}"
+              + _sample_columns(state, samples, per,
+                                first.bp_left, first.bp_right) + "\n")
+
+    rl = state.report_length
+    pos = first.left - rl + first.bp + 1
+    line = chr_seq[pos:pos + rl]
+    line += " " * first.indel_size
+    line += chr_seq[first.left + first.bp + 1:
+                    first.left + first.bp + 1 + rl]
+    out.write(line + "\n")
+
+    for gi in range(c_s, c_e + 1):
+        r = reads[gi]
+        space_before = rl - r.bp - 1
+        parts = [" " * max(space_before, 0)]
+        seq = r.seq if r.matched_d == MINUS else revcomp_str(r.seq)
+        parts.append(seq)
+        space_before_d = rl + rl - space_before - r.read_length
+        parts.append(" " * max(space_before_d, 0))
+        parts.append(f"\t{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
+                     f"\t{r.tag}\t{r.name}")
+        out.write("".join(parts) + "\n")
+    state.num_si += 1
+
+
+def output_di(reads: List[SplitRead], chr_seq: str, c_s: int, c_e: int,
+              out: TextIO, state: ReporterState) -> None:
+    """Reference OutputDI (reporter.cpp:758-880)."""
+    (samples, per, left_s, left_u, right_s, right_u,
+     num_reads, num_u, n_sup, n_u_sup) = support_counts(reads, c_s, c_e, state)
+    first = reads[c_s]
+    easy_score = (left_s + 1) * (right_s + 1)
+    state.mask_set(first.bp_left + SPACER)
+    state.mask_set(first.bp_right + SPACER)
+
+    out.write(HASHLINE + "\n")
+    out.write(f"{state.sv_index}\tD {first.indel_size}"
+              f"\tNT {first.nt_size} \"{first.nt_str}\""
+              f"\tChrID {first.frag_name}"
+              f"\tBP {first.bp_left + 1}\t{first.bp_right + 1}"
+              f"\tBP_range {first.bp_left + 1}\t{first.bp_right + 1}"
+              f"\tSupports {num_reads}\t{num_u}"
+              f"\t+ {left_s}\t{left_u}\t- {right_s}\t{right_u}"
+              f"\tS1 {easy_score}"
+              f"\tSUM_MS {_sum_ms(reads, c_s, c_e)}"
+              f"\t{len(samples)}\tNumSupSamples {n_sup}\t{n_u_sup}"
+              + _sample_columns(state, samples, per,
+                                first.bp_left, first.bp_right) + "\n")
+
+    rl = state.report_length
+    pos = first.left - rl + first.bp + 1
+    line = chr_seq[pos:pos + rl]
+    line += " " * first.nt_size
+    p2 = first.left + first.bp + 1 + first.indel_size
+    line += chr_seq[p2:p2 + rl]
+    out.write(line + "\n")
+
+    for gi in range(c_s, c_e + 1):
+        r = reads[gi]
+        space_before = rl - r.bp - 1
+        parts = [" " * max(space_before, 0)]
+        seq = r.seq if r.matched_d == MINUS else revcomp_str(r.seq)
+        parts.append(seq + "\t")
+        parts.append(f"\t{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
+                     f"\t{r.tag}\t{r.name}")
+        out.write("".join(parts) + "\n")
+
+
+def output_short_inversion(reads: List[SplitRead], chr_seq: str,
+                           c_s: int, c_e: int, real_start: int, real_end: int,
+                           out: TextIO, state: ReporterState) -> None:
+    """Reference OutputShortInversion (reporter.cpp:1588-1695)."""
+    (samples, per, left_s, left_u, right_s, right_u,
+     num_reads, num_u, n_sup, n_u_sup) = support_counts(reads, c_s, c_e, state)
+    first = reads[c_s]
+    easy_score = (left_s + 1) * (right_s + 1)
+    state.mask_set(first.bp_left + SPACER)
+    state.mask_set(first.bp_right + SPACER)
+
+    out.write(HASHLINE + "\n")
+    out.write(f"{state.num_inv}\tINV {first.indel_size}"
+              f"\tNT {first.nt_size} \"{first.nt_str}\""
+              f"\tChrID {first.frag_name}"
+              f"\tBP {first.bp_left + 1}\t{first.bp_right + 1}"
+              f"\tBP_range {first.bp_left + 1}\t{first.bp_right + 1}"
+              f"\tSupports {num_reads}\t{num_u}"
+              f"\t+ {left_s}\t{left_u}\t- {right_s}\t{right_u}"
+              f"\tS1 {easy_score}"
+              f"\tSUM_MS {_sum_ms(reads, c_s, c_e)}"
+              f"\t{len(samples)}\tNumSupSamples {n_sup}\t{n_u_sup}"
+              + _sample_columns(state, samples, per,
+                                first.bp_left, first.bp_right) + "\n")
+    state.num_inv += 1
+
+    rl = state.report_length
+    pos = first.left - rl + first.bp + 1
+    line = chr_seq[pos:pos + rl]
+    line += cap2low(revcomp_str(
+        chr_seq[first.left + first.bp + 1:
+                first.left + first.bp + 1 + first.nt_size]))
+    p2 = first.left + first.bp + 1 + first.indel_size
+    line += chr_seq[p2:p2 + rl]
+    out.write(line + "\n")
+
+    for gi in range(c_s, c_e + 1):
+        r = reads[gi]
+        space_before = rl - r.bp - 1
+        parts = [" " * max(space_before, 0)]
+        seq = r.seq if r.matched_d == MINUS else revcomp_str(r.seq)
+        parts.append(seq + "\t")
+        parts.append(f"\t{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
+                     f"\t{r.tag}\t{r.name}")
+        out.write("".join(parts) + "\n")
+
+
+# ------------------------------------------------------------- sort + output
+
+def sort_output_d(reads: List[SplitRead], boxes: List[List[int]],
+                  chr_seq: str, out: TextIO, state: ReporterState) -> None:
+    """Reference SortOutputD (reporter.cpp:1395-1570)."""
+    cutoff = state.settings.num_reads_to_report_cutoff
+    for box in boxes:
+        if len(box) < cutoff:
+            continue
+        bubblesort_reads(reads, box)
+        mark_duplicates(reads, box)
+        good = [reads[i] for i in box if reads[i].unique_read]
+        if not good:
+            continue
+        events: List[Indel4output] = []
+        ev = Indel4output()
+        ev.start = 0
+        ev.end = 0
+        ev.chr_name = good[0].frag_name
+        ev.bp_left = good[0].bp_left
+        ev.bp_right = good[0].bp_right
+        ev.whether_report = True
+        for gi in range(1, len(good)):
+            g = good[gi]
+            if (g.bp_left == ev.bp_left and g.bp_right == ev.bp_right
+                    and g.frag_name == ev.chr_name
+                    and g.far_frag_name == ev.chr_name):
+                ev.end = gi
+            else:
+                ev.real_start, ev.real_end = get_real_start_4_deletion(
+                    chr_seq, ev.bp_left, ev.bp_right)
+                ev.support = ev.end - ev.start + 1
+                events.append(ev)
+                ev = Indel4output()
+                ev.start = gi
+                ev.end = gi
+                ev.bp_left = g.bp_left
+                ev.bp_right = g.bp_right
+                ev.chr_name = g.frag_name
+                ev.whether_report = True
+        ev.real_start, ev.real_end = get_real_start_4_deletion(
+            chr_seq, ev.bp_left, ev.bp_right)
+        ev.support = ev.end - ev.start + 1
+        events.append(ev)
+
+        for ev in events:
+            if not ev.whether_report:
+                continue
+            if ev.support < cutoff:
+                continue
+            # IsGoodDeletion returns true unconditionally (reporter.cpp:1324)
+            if good[ev.start].indel_size < state.settings.balance_cutoff:
+                output_deletions(good, chr_seq, ev.start, ev.end,
+                                 ev.real_start, ev.real_end, out, state)
+                state.template_counter += 1
+            elif report_event(good, ev.start, ev.end):
+                output_deletions(good, chr_seq, ev.start, ev.end,
+                                 ev.real_start, ev.real_end, out, state)
+                state.template_counter += 1
+
+
+def sort_output_si(reads: List[SplitRead], boxes: List[List[int]],
+                   chr_seq: str, out: TextIO, state: ReporterState) -> None:
+    """Reference SortOutputSI (reporter.cpp:975-1091)."""
+    cutoff = state.settings.num_reads_to_report_cutoff
+    for box in boxes:
+        if len(box) < cutoff:
+            continue
+        bubblesort_reads(reads, box)
+        mark_duplicates(reads, box)
+        good = [reads[i] for i in box if reads[i].unique_read]
+        if not good:
+            continue
+        events: List[Indel4output] = []
+        ev = Indel4output()
+        ev.initialize(0, good[0])
+        for gi in range(1, len(good)):
+            g = good[gi]
+            if g.bp_left == ev.bp_left and g.indel_size == ev.indel_size:
+                ev.end = gi
+            else:
+                ev.complete()
+                ev.indel_str, ev.real_start, ev.real_end = \
+                    get_real_start_4_insertion(chr_seq, ev.indel_str,
+                                               ev.real_start, ev.real_end)
+                events.append(ev)
+                ev = Indel4output()
+                ev.initialize(gi, g)
+        ev.complete()
+        ev.indel_str, ev.real_start, ev.real_end = \
+            get_real_start_4_insertion(chr_seq, ev.indel_str,
+                                       ev.real_start, ev.real_end)
+        events.append(ev)
+
+        for ev in events:
+            if not ev.whether_report:
+                continue
+            if ev.support >= cutoff and ev.real_start < ev.real_end:
+                output_sis(good, chr_seq, ev.start, ev.end,
+                           ev.real_start, ev.real_end, out, state)
+
+
+def sort_output_di(reads: List[SplitRead], boxes: List[List[int]],
+                   chr_seq: str, out_d: TextIO, out_inv: TextIO,
+                   state: ReporterState) -> None:
+    """Reference SortOutputDI (reporter.cpp:1708-1850).
+
+    Uses its own in-place selection sort with a different key order
+    (BPLeft, BPRight, NT_size, BP) and its own duplicate marking.
+    """
+    cutoff = state.settings.num_reads_to_report_cutoff
+    for box in boxes:
+        if len(box) < cutoff:
+            continue
+        n = len(box)
+        for first in range(n - 1):
+            for second in range(first + 1, n):
+                a, b = reads[box[first]], reads[box[second]]
+                swap = False
+                if a.bp_left < b.bp_left:
+                    continue
+                elif a.bp_left > b.bp_left:
+                    swap = True
+                else:
+                    if a.bp_right < b.bp_right:
+                        continue
+                    elif a.bp_right > b.bp_right:
+                        swap = True
+                    else:
+                        if a.nt_size < b.nt_size:
+                            continue
+                        elif a.nt_size > b.nt_size:
+                            swap = True
+                        elif a.bp > b.bp:
+                            swap = True
+                if swap:
+                    box[first], box[second] = box[second], box[first]
+        for first in range(n - 1):
+            for second in range(first + 1, n):
+                a, b = reads[box[first]], reads[box[second]]
+                if a.read_length == b.read_length:
+                    if (a.left_most_pos == b.left_most_pos
+                            or a.left_most_pos + a.read_length
+                            == b.left_most_pos + b.read_length):
+                        if a.matched_d == b.matched_d:
+                            b.unique_read = False
+        good = [reads[i] for i in box if reads[i].unique_read]
+        if not good:
+            continue
+        events: List[Indel4output] = []
+        ev = Indel4output()
+        ev.chr_name = good[0].frag_name
+        ev.start = 0
+        ev.end = 0
+        ev.indel_size = good[0].indel_size
+        ev.nt_size = good[0].nt_size
+        ev.bp_left = good[0].bp_left
+        ev.bp_right = good[0].bp_right
+        ev.whether_report = True
+        for gi in range(1, len(good)):
+            g = good[gi]
+            if (g.bp_left == ev.bp_left and g.indel_size == ev.indel_size
+                    and g.nt_size == ev.nt_size):
+                ev.end = gi
+            else:
+                events.append(ev)
+                ev = Indel4output()
+                ev.start = gi
+                ev.end = gi
+                ev.bp_left = g.bp_left
+                ev.indel_size = g.indel_size
+                ev.nt_size = g.nt_size
+                ev.chr_name = g.frag_name
+                ev.whether_report = True
+        events.append(ev)
+
+        for ev in events:
+            if ev.end - ev.start + 1 < cutoff:
+                continue
+            real_start = good[ev.start].bp_left
+            real_end = good[ev.start].bp_right
+            if (good[ev.start].indel_size < state.settings.balance_cutoff
+                    or report_event(good, ev.start, ev.end)):
+                if is_inversion(good[ev.start], chr_seq):
+                    output_short_inversion(good, chr_seq, ev.start, ev.end,
+                                           real_start, real_end, out_inv,
+                                           state)
+                else:
+                    # IsGoodDeletion is unconditionally true
+                    output_di(good, chr_seq, ev.start, ev.end, out_d, state)
+                    state.nontemplate_counter += 1

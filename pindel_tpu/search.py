@@ -133,6 +133,8 @@ class Searcher:
             batch_lanes = [[close_end_lane(chrom, r, range_index)]
                            for r in active]
             budgets = [self.budget(r) for r in active]
+            for r, b in zip(active, budgets):
+                r.max_snp_error = b[0]
             results = self.backend.run(
                 batch_lanes, s.min_close,
                 [b[0] for b in budgets], [b[1] for b in budgets])
