@@ -21,11 +21,18 @@ from typing import Dict, List, Optional, TextIO
 from pindel_tpu import dna
 from pindel_tpu.config import Settings
 from pindel_tpu.events.detect import (SearchDeletions, SearchShortInsertions,
-                                      WindowContext, search_indels_nt)
+                                      WindowContext, search_indels_nt,
+                                      search_inversions,
+                                      search_inversions_nt,
+                                      search_tandem_duplications,
+                                      search_tandem_duplications_nt)
 from pindel_tpu.genome import SPACER, Chromosome, Genome
 from pindel_tpu.reads import SplitRead, read_pindel_file
-from pindel_tpu.report.reporter import (ReporterState, sort_output_d,
-                                        sort_output_di, sort_output_si)
+from pindel_tpu.report.reporter import (ReporterState,
+                                        do_sort_and_output_inversions,
+                                        sort_and_output_tandem_duplications,
+                                        sort_output_d, sort_output_di,
+                                        sort_output_si)
 from pindel_tpu.search import Searcher
 
 AROUND_REGION_BUFFER = 10_000   # pindel.cpp:127
@@ -202,10 +209,28 @@ class Pipeline:
         sort_output_di(reads, di_boxes, chr_seq, self._out("D"),
                        self._out("INV"), self.state)
 
-        # TD and INV detectors land next; their files are created empty so
-        # downstream tooling sees the full reference file set.
-        self._out("TD")
-        self._out("INV")
+        if s.analyze_td:
+            td_boxes = boxes()
+            search_tandem_duplications(reads, ctx(), td_boxes)
+            sort_and_output_tandem_duplications(
+                reads, td_boxes, chr_seq, self._out("TD"), self.state, False)
+            td_nt_boxes = boxes()
+            search_tandem_duplications_nt(reads, ctx(), td_nt_boxes, s)
+            sort_and_output_tandem_duplications(
+                reads, td_nt_boxes, chr_seq, self._out("TD"), self.state,
+                True)
+
+        if s.analyze_inv:
+            inv_boxes = boxes()
+            search_inversions(reads, ctx(), inv_boxes, s)
+            do_sort_and_output_inversions(
+                reads, inv_boxes, chr_seq, self._out("INV"), self.state,
+                False)
+            inv_nt_boxes = boxes()
+            search_inversions_nt(reads, ctx(), inv_nt_boxes, s)
+            do_sort_and_output_inversions(
+                reads, inv_nt_boxes, chr_seq, self._out("INV"), self.state,
+                True)
 
         si_boxes = boxes()
         SearchShortInsertions().search(reads, ctx(), si_boxes)

@@ -134,6 +134,7 @@ class ReporterState:
         self.nontemplate_counter = 0
         self.num_si = 0                 # NumberOfSIsInstances
         self.num_inv = 0                # g_numberOfInvInstances
+        self.num_td = 0                 # NumberOfTDInstances
         self.mask: Optional[bytearray] = None   # CurrentChrMask
         self.region_start = 0           # g_RegionStart
         self.region_end = 0             # g_RegionEnd
@@ -424,6 +425,349 @@ def output_short_inversion(reads: List[SplitRead], chr_seq: str,
         parts.append(f"\t{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
                      f"\t{r.tag}\t{r.name}")
         out.write("".join(parts) + "\n")
+
+
+def output_tds(reads: List[SplitRead], chr_seq: str, c_s: int, c_e: int,
+               real_start: int, real_end: int, out: TextIO,
+               state: ReporterState) -> None:
+    """Reference OutputTDs (reporter.cpp:157-269).
+
+    Quirk: each supporting read is TWO output lines (endl after the
+    sequence, then the tab-metadata line)."""
+    (samples, per, left_s, left_u, right_s, right_u,
+     num_reads, num_u, n_sup, n_u_sup) = support_counts(reads, c_s, c_e, state)
+    first = reads[c_s]
+    easy_score = (left_s + 1) * (right_s + 1)
+    state.mask_set(first.bp_left + SPACER)
+    state.mask_set(first.bp_right + SPACER)
+
+    # TD coverage columns use BPLeft+1 / BPRight+1 bounds
+    cols = []
+    in_start = (first.bp_left + 1 >= state.region_start
+                and first.bp_left + 1 < state.region_end)
+    in_end = (first.bp_right + 1 > state.region_start
+              and first.bp_right + 1 < state.region_end)
+    for i, name in enumerate(samples):
+        cov_s = state.coverage_at(first.bp_left + 1, i) if in_start else -1
+        cov_e = state.coverage_at(first.bp_right + 1, i) if in_end else -1
+        cols.append(f"\t{name} {cov_s} {cov_e} "
+                    f"{per[i][0]} {per[i][2]} {per[i][1]} {per[i][3]}")
+
+    out.write(HASHLINE + "\n")
+    out.write(f"{state.num_td}\tTD {first.indel_size}"
+              f"\tNT {first.nt_size} \"{first.nt_str}\""
+              f"\tChrID {first.frag_name}"
+              f"\tBP {first.bp_left}\t{first.bp_right + 2}"
+              f"\tBP_range {first.bp_left}\t{first.bp_right + 2}"
+              f"\tSupports {num_reads}\t{num_u}"
+              f"\t+ {left_s}\t{left_u}\t- {right_s}\t{right_u}"
+              f"\tS1 {easy_score}"
+              f"\tSUM_MS {_sum_ms(reads, c_s, c_e)}"
+              f"\t{len(samples)}\tNumSupSamples {n_sup}\t{n_u_sup}"
+              + "".join(cols) + "\n")
+
+    rl = state.report_length
+    pos = first.bp_right + SPACER - rl + 1
+    line = chr_seq[pos:pos + rl]
+    line += " " * first.nt_size
+    line += cap2low(chr_seq[first.bp_left + SPACER:
+                            first.bp_left + SPACER + rl])
+    out.write(line + "\n")
+
+    for gi in range(c_s, c_e + 1):
+        r = reads[gi]
+        space_before = rl - r.bp - 1
+        seq = r.seq if r.matched_d == MINUS else revcomp_str(r.seq)
+        out.write(" " * max(space_before, 0) + seq + "\n")
+        out.write(f"\t{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
+                  f"\t{r.tag}\t{r.name}\n")
+
+
+def output_inversions(reads: List[SplitRead], chr_seq: str, c_s: int,
+                      c_e: int, out: TextIO, state: ReporterState) -> None:
+    """Reference OutputInversions (reporter.cpp:446-637)."""
+    left_nt_size = right_nt_size = 0
+    left_nt_str = right_nt_str = ""
+    for i in range(c_s, c_e + 1):
+        if reads[i].matched_d == PLUS:
+            left_nt_size = reads[i].nt_size
+            left_nt_str = reads[i].nt_str
+            break
+    for i in range(c_s, c_e + 1):
+        if reads[i].matched_d == MINUS:
+            right_nt_size = reads[i].nt_size
+            right_nt_str = reads[i].nt_str
+            break
+    (samples, per, left_s, left_u, right_s, right_u,
+     num_reads, num_u, n_sup, n_u_sup) = support_counts(reads, c_s, c_e, state)
+    first = reads[c_s]
+    easy_score = (left_s + 1) * (right_s + 1)
+    state.mask_set(first.bp_left + SPACER)
+    state.mask_set(first.bp_right + SPACER)
+
+    # INV coverage columns use BPLeft+1 / BPRight+1 bounds
+    cols = []
+    in_start = (first.bp_left + 1 >= state.region_start
+                and first.bp_left + 1 < state.region_end)
+    in_end = (first.bp_right + 1 > state.region_start
+              and first.bp_right + 1 < state.region_end)
+    for i, name in enumerate(samples):
+        cov_s = state.coverage_at(first.bp_left + 1, i) if in_start else -1
+        cov_e = state.coverage_at(first.bp_right + 1, i) if in_end else -1
+        cols.append(f"\t{name} {cov_s} {cov_e} "
+                    f"{per[i][0]} {per[i][2]} {per[i][1]} {per[i][3]}")
+
+    out.write(HASHLINE + "\n")
+    out.write(f"{state.num_inv}\tINV {first.indel_size}"
+              f"\tNT {left_nt_size}:{right_nt_size}"
+              f" \"{left_nt_str}\":\"{right_nt_str}\""
+              f"\tChrID {first.frag_name}"
+              f"\tBP {first.bp_left}\t{first.bp_right + 2}"
+              f"\tBP_range {first.bp_left}\t{first.bp_right + 2}"
+              f"\tSupports {num_reads}\t{num_u}"
+              f"\t+ {left_s}\t{left_u}\t- {right_s}\t{right_u}"
+              f"\tS1 {easy_score}"
+              f"\tSUM_MS {_sum_ms(reads, c_s, c_e)}"
+              f"\t{len(samples)}\tNumSupSamples {n_sup}\t{n_u_sup}"
+              + "".join(cols) + "\n")
+    state.num_inv += 1
+
+    rl = state.report_length
+    line = chr_seq[first.bp_left + SPACER - rl: first.bp_left + SPACER]
+    line += " " * left_nt_size
+    line += cap2low(revcomp_str(
+        chr_seq[first.bp_right + 1 + SPACER - rl:
+                first.bp_right + 1 + SPACER]))
+    out.write(line + "\n")
+    for gi in range(c_s, c_e + 1):
+        r = reads[gi]
+        if r.matched_d != PLUS:
+            continue
+        space_before = rl - r.bp - 1
+        parts = [" " * max(space_before, 0)]
+        if r.up_close[0].abs_loc < r.up_far[0].abs_loc:
+            parts.append(revcomp_str(r.seq))
+            parts.append(" " * r.bp)
+        else:
+            parts.append(r.seq)
+        parts.append(f"\t{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
+                     f"\t{r.tag}\t{r.name}")
+        out.write("".join(parts) + "\n")
+    out.write("-" * 100 + "\n")
+
+    line = cap2low(revcomp_str(
+        chr_seq[first.bp_left + SPACER: first.bp_left + SPACER + rl]))
+    line += " " * right_nt_size
+    line += chr_seq[first.bp_right + 1 + SPACER:
+                    first.bp_right + 1 + SPACER + rl]
+    out.write(line + "\n")
+    for gi in range(c_s, c_e + 1):
+        r = reads[gi]
+        if r.matched_d != MINUS:
+            continue
+        space_before = rl - r.bp - 1
+        parts = [" " * max(space_before, 0)]
+        if r.up_close[0].abs_loc > r.up_far[0].abs_loc:
+            parts.append(r.seq)
+            parts.append(" " * r.bp)
+        else:
+            parts.append(revcomp_str(r.seq))
+        parts.append(f"\t{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
+                     f"\t{r.tag}\t{r.name}")
+        out.write("".join(parts) + "\n")
+
+
+def sort_and_output_tandem_duplications(
+        reads: List[SplitRead], boxes: List[List[int]], chr_seq: str,
+        out: TextIO, state: ReporterState, non_template: bool) -> None:
+    """Reference SortAndOutputTandemDuplications (reporter.cpp:1157-1287)."""
+    cutoff = state.settings.num_reads_to_report_cutoff
+    for box in boxes:
+        if len(box) < cutoff:
+            continue
+        bubblesort_reads(reads, box)
+        mark_duplicates(reads, box)
+        good = [reads[i] for i in box if reads[i].unique_read]
+        if not good:
+            continue
+        events: List[Indel4output] = []
+        ev = Indel4output()
+        ev.chr_name = good[0].frag_name
+        ev.start = 0
+        ev.end = 0
+        ev.support = 1
+        ev.bp_left = good[0].bp_left
+        ev.bp_right = good[0].bp_right
+        ev.whether_report = True
+        for gi in range(1, len(good)):
+            g = good[gi]
+            if g.bp_left == ev.bp_left and g.bp_right == ev.bp_right:
+                ev.end = gi
+            else:
+                ev.real_start, ev.real_end = get_real_start_4_deletion(
+                    chr_seq, ev.bp_left, ev.bp_right)
+                ev.support = ev.end - ev.start + 1
+                events.append(ev)
+                ev2 = Indel4output()
+                ev2.start = gi
+                ev2.end = gi
+                ev2.bp_left = g.bp_left
+                ev2.bp_right = g.bp_right
+                ev2.chr_name = g.frag_name
+                ev2.whether_report = True
+                ev = ev2
+        ev.real_start, ev.real_end = get_real_start_4_deletion(
+            chr_seq, ev.bp_left, ev.bp_right)
+        ev.support = ev.end - ev.start + 1
+        events.append(ev)
+
+        for ev in events:
+            if not ev.whether_report:
+                continue
+            real_start, real_end = ev.real_start, ev.real_end
+            # IsGoodTD early checks (reporter.cpp:1096-1103); pindel-format
+            # input then short-circuits to true
+            if real_end < real_start or real_start == 0:
+                continue
+            if ev.support >= cutoff:
+                if good[ev.start].indel_size < state.settings.balance_cutoff:
+                    output_tds(good, chr_seq, ev.start, ev.end,
+                               real_start, real_end, out, state)
+                    state.num_td += 1
+                elif report_event(good, ev.start, ev.end):
+                    output_tds(good, chr_seq, ev.start, ev.end,
+                               real_start, real_end, out, state)
+                    state.num_td += 1
+
+
+def do_sort_and_output_inversions(
+        reads: List[SplitRead], boxes: List[List[int]], chr_seq: str,
+        out: TextIO, state: ReporterState, non_template: bool) -> None:
+    """Reference OutputSorter::DoSortAndOutputInversions
+    (output_sorter.cpp:62-260) + ReportIndelEvents (:370-396).
+
+    Quirks preserved: GoodIndels keeps ALL reads (no UniqueRead filter);
+    a failed size-harmonization poisons WhetherReport for the REST of the
+    box; BP/BPLeft/BPRight are harmonized on copies.
+    """
+    import copy
+    cutoff = state.settings.num_reads_to_report_cutoff
+    for box in boxes:
+        if len(box) < cutoff:
+            continue
+        n = len(box)
+        for first in range(n - 1):
+            for second in range(first + 1, n):
+                a, b = reads[box[first]], reads[box[second]]
+                swap = False
+                sa = a.bp_left + a.bp_right
+                sb = b.bp_left + b.bp_right
+                if sa < sb:
+                    continue
+                elif sa > sb:
+                    swap = True
+                elif a.indel_size > b.indel_size:
+                    continue
+                elif a.indel_size < b.indel_size:
+                    swap = True
+                elif a.bp_left < b.bp_left:
+                    continue
+                elif a.bp_left > b.bp_left:
+                    swap = True
+                else:
+                    if a.bp_right < b.bp_right:
+                        continue
+                    elif a.bp_right > b.bp_right:
+                        swap = True
+                    elif non_template:
+                        if a.nt_size < b.nt_size:
+                            continue
+                        elif a.nt_size > b.nt_size:
+                            swap = True
+                        elif a.bp > b.bp:
+                            swap = True
+                    elif a.bp > b.bp:
+                        swap = True
+                if swap:
+                    box[first], box[second] = box[second], box[first]
+        for first in range(n - 1):
+            for second in range(first + 1, n):
+                a, b = reads[box[first]], reads[box[second]]
+                if (a.left_most_pos == b.left_most_pos
+                        or a.left_most_pos + a.read_length
+                        == b.left_most_pos + b.read_length):
+                    if a.matched_d == b.matched_d:
+                        b.unique_read = False
+
+        good = [copy.copy(reads[i]) for i in box]
+        if not good:
+            continue
+        events: List[Indel4output] = []
+        ev = Indel4output()
+        ev.start = 0
+        ev.end = 0
+        ev.support = 1
+        ev.bp_left = good[0].bp_left
+        ev.bp_right = good[0].bp_right
+        ev.whether_report = True
+
+        def harmonize(ev: Indel4output) -> None:
+            max_size = 0
+            for i in range(ev.start, ev.end + 1):
+                max_size = max(max_size, good[i].indel_size)
+            for i in range(ev.start, ev.end + 1):
+                g = good[i]
+                if (g.indel_size / float(max_size) < 0.95
+                        or max_size + 30 > g.read_length + g.indel_size):
+                    ev.whether_report = False
+                    break
+                diff = (max_size - g.indel_size) // 2
+                g.indel_size = max_size
+                g.bp_left -= diff
+                g.bp_right += diff
+                if g.matched_d == PLUS:
+                    if g.bp > diff:
+                        g.bp -= diff
+                else:
+                    if g.bp + diff < g.read_length - 1:
+                        g.bp += diff
+
+        for gi in range(1, len(good)):
+            g = good[gi]
+            if g.bp_left + g.bp_right == ev.bp_left + ev.bp_right:
+                ev.end = gi
+            else:
+                harmonize(ev)
+                ev.real_start = good[ev.start].bp_left
+                ev.real_end = good[ev.start].bp_right
+                ev.support = ev.end - ev.start + 1
+                if ev.whether_report:
+                    events.append(ev)
+                ev2 = Indel4output()
+                ev2.start = gi
+                ev2.end = gi
+                ev2.bp_left = g.bp_left
+                ev2.bp_right = g.bp_right
+                # WhetherReport intentionally NOT reset (reference bug):
+                ev2.whether_report = ev.whether_report
+                ev = ev2
+        harmonize(ev)
+        ev.real_start = ev.bp_left
+        ev.real_end = ev.bp_right
+        ev.support = ev.end - ev.start + 1
+        if ev.whether_report:
+            events.append(ev)
+
+        for ev in events:
+            if ev.support < cutoff:
+                continue
+            # IsGoodINV early checks; pindel input then true
+            if ev.real_end < ev.real_start or ev.real_start == 0:
+                continue
+            if good[ev.start].indel_size < state.settings.balance_cutoff:
+                output_inversions(good, chr_seq, ev.start, ev.end, out, state)
+            elif report_event(good, ev.start, ev.end):
+                output_inversions(good, chr_seq, ev.start, ev.end, out, state)
 
 
 # ------------------------------------------------------------- sort + output

@@ -72,9 +72,19 @@ def _first_diff(gold, ours):
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_d_si_reports_match_reference(tmp_path, oracle, seed):
     d, _ = run_scene(tmp_path, oracle, seed)
-    assert_identical(d, ["CloseEndMapped", "D", "SI"])
+    assert_identical(d, ["CloseEndMapped", "D", "SI", "TD", "INV"])
     # scenes must actually produce events
     assert "ChrID" in open(os.path.join(d, "gold_D")).read()
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_inv_td_heavy_scene(tmp_path, oracle, seed):
+    d, _ = run_scene(tmp_path, oracle, seed,
+                     kinds=["INV", "TD", "INV", "TD", "INV", "TD", "DI"],
+                     chrom_len=80_000, reads_per_event=10)
+    assert_identical(d, ["CloseEndMapped", "D", "SI", "TD", "INV"])
+    assert "ChrID" in open(os.path.join(d, "gold_INV")).read()
+    assert "ChrID" in open(os.path.join(d, "gold_TD")).read()
 
 
 def test_deletion_only_scene_jax_backend(tmp_path, oracle):
