@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark: split-reads/s/chip vs reference pindel on the same scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Both sides run the identical end-to-end job (pindel-format reads → close/far
+pattern-growth search → event detection → report files); outputs are
+asserted byte-identical before timing is reported.  The reference binary is
+built from /root/reference with the htslib stub (tools/) and timed on this
+host's CPU (its native habitat — it has no accelerator path); ours runs the
+JAX engine on the real chip.  Timing for ours is the second run (warm
+compile cache) — compile time is a one-off, reported separately on stderr.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+N_READS_TARGET = 2000
+SCENE_KINDS = ["DEL", "SI", "DI", "INV", "TD"] * 10
+CHROM_LEN = 400_000
+
+
+def build_scene(workdir: str):
+    from make_fai import make_fai
+
+    from pindel_tpu.testing.simulate import standard_scene, write_fasta
+    reads_per_event = max(N_READS_TARGET // (len(SCENE_KINDS) + 2) // 1, 4)
+    ref, events, reads = standard_scene(
+        seed=1234, chrom_len=CHROM_LEN, kinds=SCENE_KINDS,
+        reads_per_event=reads_per_event, n_noise=N_READS_TARGET // 10,
+        chrom="chrB")
+    fa = os.path.join(workdir, "bench_ref.fa")
+    write_fasta(fa, [("chrB", ref)])
+    make_fai(fa)
+    reads_txt = os.path.join(workdir, "bench_reads.txt")
+    reads.write(reads_txt)
+    return fa, reads_txt, len(reads.names)
+
+
+def time_reference(fa: str, reads_txt: str, workdir: str) -> float:
+    r = subprocess.run(
+        [os.path.join(REPO, "tools", "build_reference_oracle.sh")],
+        capture_output=True, text=True, timeout=900)
+    if r.returncode != 0:
+        print("oracle build failed:", r.stderr[-400:], file=sys.stderr)
+        return float("nan")
+    t0 = time.time()
+    r = subprocess.run(["/tmp/pindel_oracle/pindel", "-f", fa,
+                        "-p", reads_txt, "-o",
+                        os.path.join(workdir, "gold"), "-c", "ALL"],
+                       capture_output=True, text=True, timeout=1800)
+    dt = time.time() - t0
+    assert r.returncode == 0, r.stdout[-1000:]
+    return dt
+
+
+def run_ours(fa: str, reads_txt: str, out_prefix: str) -> float:
+    from pindel_tpu.config import Settings
+    from pindel_tpu.pipeline import run_files
+    t0 = time.time()
+    run_files(fa, reads_txt, out_prefix, settings=Settings(),
+              backend="jax")
+    return time.time() - t0
+
+
+def main() -> int:
+    import tempfile
+    workdir = tempfile.mkdtemp(prefix="pindel_bench_")
+    fa, reads_txt, n_reads = build_scene(workdir)
+    print(f"scene: {n_reads} reads over {CHROM_LEN // 1000} kb",
+          file=sys.stderr)
+
+    ref_dt = time_reference(fa, reads_txt, workdir)
+    print(f"reference: {ref_dt:.2f}s  ({n_reads / ref_dt:.1f} reads/s)",
+          file=sys.stderr)
+
+    cold_dt = run_ours(fa, reads_txt, os.path.join(workdir, "ours_cold"))
+    print(f"ours cold (incl. compile): {cold_dt:.2f}s", file=sys.stderr)
+    warm_dt = run_ours(fa, reads_txt, os.path.join(workdir, "ours"))
+    print(f"ours warm: {warm_dt:.2f}s  ({n_reads / warm_dt:.1f} reads/s)",
+          file=sys.stderr)
+
+    # correctness gate: byte-identical reports
+    mismatches = []
+    for suf in ("D", "SI", "TD", "INV"):
+        gold = open(os.path.join(workdir, f"gold_{suf}")).read()
+        ours = open(os.path.join(workdir, f"ours_{suf}")).read()
+        if gold != ours:
+            mismatches.append(suf)
+    if not open(os.path.join(workdir, "gold_D")).read():
+        mismatches.append("EMPTY_GOLD")
+    if mismatches:
+        print(f"OUTPUT MISMATCH in {mismatches} — benchmark void",
+              file=sys.stderr)
+        print(json.dumps({"metric": "split-reads/s/chip", "value": 0.0,
+                          "unit": "reads/s",
+                          "vs_baseline": 0.0}))
+        return 1
+
+    value = n_reads / warm_dt
+    baseline = n_reads / ref_dt
+    print(json.dumps({"metric": "split-reads/s/chip",
+                      "value": round(value, 2),
+                      "unit": "reads/s",
+                      "vs_baseline": round(value / baseline, 3)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

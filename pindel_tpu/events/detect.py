@@ -15,7 +15,9 @@ stays in Python deliberately (per-read logic over a handful of anchors).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
 
 from pindel_tpu.config import Settings
 from pindel_tpu.events.canonical import (get_real_start_4_deletion,
@@ -73,8 +75,49 @@ def _place_read(read: SplitRead, idx: int, ctx: WindowContext,
     return False
 
 
+def _read_anchors(read: SplitRead):
+    """(abs_loc, length, mismatches, is_minus_direction) array views for
+    the read's close and far AnchorSets — zero copies."""
+    c, f = read.up_close, read.up_far
+    return ((c.loc, c.length, c.mm, c.dir_minus),
+            (f.loc, f.length, f.mm, f.dir_minus))
+
+
+_BIG = np.iinfo(np.int64).max
+
+
+def pick_first_pair(pred: np.ndarray, cmm: np.ndarray, fmm: np.ndarray,
+                    max_snp: int, ci_asc: bool, fi_asc: bool):
+    """Vectorized equivalent of the reference's budget-escalation loops.
+
+    A pair (ci, fi) first becomes eligible at budget = close.mm + far.mm;
+    within a budget the loops scan ci (asc/desc per branch) then fi.  The
+    winner therefore minimizes (sum_mm, ci_order, fi_order) over pairs
+    passing the geometry predicate.  Returns (ci, fi) or None.
+    """
+    sum_mm = cmm[:, None] + fmm[None, :]
+    ok = pred & (sum_mm <= max_snp)
+    if not ok.any():
+        return None
+    nc, nf = ok.shape
+    ci_key = np.arange(nc, dtype=np.int64)
+    if not ci_asc:
+        ci_key = ci_key[::-1]
+    fi_key = np.arange(nf, dtype=np.int64)
+    if not fi_asc:
+        fi_key = fi_key[::-1]
+    key = sum_mm * (nc * nf) + ci_key[:, None] * nf + fi_key[None, :]
+    flat = int(np.argmin(np.where(ok, key, _BIG)))
+    return flat // nf, flat % nf
+
+
 class VariantSearcher:
-    """Template method, reference SearchVariant::Search."""
+    """Template method, reference SearchVariant::Search.
+
+    The hot path is a vectorized candidate-pair selection
+    (pick_first_pair); the scalar reference loop remains as the fallback
+    for the rare non-terminating placements (region-filter miss,
+    chromosome-bounds break)."""
 
     def decision1(self, read: SplitRead, ci: int, fi: int) -> bool:
         raise NotImplementedError
@@ -91,6 +134,12 @@ class VariantSearcher:
     def inserted_str2(self, read: SplitRead) -> str:
         raise NotImplementedError
 
+    def pred1(self, read, cl, fa) -> np.ndarray:
+        raise NotImplementedError
+
+    def pred2(self, read, cl, fa) -> np.ndarray:
+        raise NotImplementedError
+
     def search(self, reads: List[SplitRead], ctx: WindowContext,
                boxes: List[List[int]]) -> None:
         chr_len = len(ctx.chr_seq)
@@ -99,7 +148,50 @@ class VariantSearcher:
                 continue
             if read.used or not read.up_far:
                 continue
-            max_snp = read.max_snp_error
+            cl, fa = _read_anchors(read)
+            far_minus = fa[3]
+            if read.matched_d == PLUS:
+                pred = self.pred1(read, cl, fa) & far_minus[None, :]
+                hit = pick_first_pair(pred, cl[2], fa[2],
+                                      read.max_snp_error,
+                                      ci_asc=True, fi_asc=False)
+            elif read.matched_d == MINUS:
+                pred = self.pred2(read, cl, fa) & ~far_minus[None, :]
+                hit = pick_first_pair(pred, cl[2], fa[2],
+                                      read.max_snp_error,
+                                      ci_asc=False, fi_asc=False)
+            else:
+                continue
+            if hit is None:
+                continue
+            ci, fi = hit
+            close_u, far_u = read.up_close[ci], read.up_far[fi]
+            if read.matched_d == PLUS:
+                read.left = close_u.abs_loc - close_u.length_str + 1
+                read.right = far_u.abs_loc + far_u.length_str - 1
+                read.bp = close_u.length_str - 1
+                read.indel_size = self.indel_size(read)
+                read.nt_str = self.inserted_str1(read)
+                read.bp_left = close_u.abs_loc - SPACER
+                read.bp_right = far_u.abs_loc - SPACER
+            else:
+                read.left = far_u.abs_loc - far_u.length_str + 1
+                read.right = close_u.abs_loc + close_u.length_str - 1
+                read.bp = far_u.length_str - 1
+                read.indel_size = self.indel_size(read)
+                read.nt_str = self.inserted_str2(read)
+                read.bp_left = far_u.abs_loc - SPACER
+                read.bp_right = close_u.abs_loc - SPACER
+            self._finish(read, idx, ctx, boxes, chr_len)
+            if not read.used:
+                self._search_read_scalar(read, idx, ctx, boxes, chr_len)
+
+    def _search_read_scalar(self, read: SplitRead, idx: int,
+                            ctx: WindowContext, boxes: List[List[int]],
+                            chr_len: int) -> None:
+        """Reference loop, bit-exact fallback."""
+        max_snp = read.max_snp_error
+        if True:
             if read.matched_d == PLUS:
                 for budget in range(max_snp + 1):
                     if read.used:
@@ -197,6 +289,14 @@ def _real4ins(chr_seq, nt, left, right):
 class SearchDeletions(VariantSearcher):
     """Pure deletions (D).  Reference: searchdeletions.cpp:38-70."""
 
+    def pred1(self, read, cl, fa):
+        return ((fa[1][None, :] + cl[1][:, None] == read.read_length)
+                & (fa[0][None, :] > cl[0][:, None] + 1))
+
+    def pred2(self, read, cl, fa):
+        return ((cl[1][:, None] + fa[1][None, :] == read.read_length)
+                & (cl[0][:, None] > fa[0][None, :] + 1))
+
     def decision1(self, read, ci, fi):
         return (read.up_far[fi].length_str + read.up_close[ci].length_str
                 == read.read_length
@@ -223,6 +323,14 @@ class SearchShortInsertions(VariantSearcher):
     Note: the reference leaves NT_size untouched here (0) even though
     NT_str is set — preserved for sort/filter fidelity.
     """
+
+    def pred1(self, read, cl, fa):
+        return ((fa[0][None, :] == cl[0][:, None] + 1)
+                & (cl[1][:, None] + fa[1][None, :] < read.read_length))
+
+    def pred2(self, read, cl, fa):
+        return ((cl[0][:, None] == fa[0][None, :] + 1)
+                & (fa[1][None, :] + cl[1][:, None] < read.read_length))
 
     def decision1(self, read, ci, fi):
         return (read.up_far[fi].abs_loc == read.up_close[ci].abs_loc + 1
@@ -302,11 +410,61 @@ def left_most_inv(read: SplitRead, ctx: WindowContext) -> None:
 
 def search_tandem_duplications(reads: List[SplitRead], ctx: WindowContext,
                                boxes: List[List[int]]) -> None:
-    """Reference: searchTandemDuplications (search_tandem_duplications.cpp)."""
+    """Reference: searchTandemDuplications (search_tandem_duplications.cpp).
+
+    Vectorized pair selection with the reference loop as fallback."""
     for idx, read in enumerate(reads):
         if read.used or not read.up_far \
                 or read.frag_name != read.far_frag_name:
             continue
+        cl, fa = _read_anchors(read)
+        L = read.read_length
+        if read.matched_d == PLUS:
+            pred = ((fa[1][None, :] + cl[1][:, None] == L)
+                    & (fa[0][None, :] + fa[1][None, :] < cl[0][:, None])
+                    & (fa[0][None, :] + cl[1][:, None] < cl[0][:, None])
+                    & fa[3][None, :])
+            hit = pick_first_pair(pred, cl[2], fa[2], read.max_snp_error,
+                                  ci_asc=True, fi_asc=False)
+        elif read.matched_d == MINUS:
+            pred = ((cl[1][:, None] + fa[1][None, :] == L)
+                    & (cl[0][:, None] + cl[1][:, None] < fa[0][None, :])
+                    & (cl[0][:, None] + fa[1][None, :] < fa[0][None, :])
+                    & ~fa[3][None, :])
+            hit = pick_first_pair(pred, cl[2], fa[2], read.max_snp_error,
+                                  ci_asc=False, fi_asc=True)
+        else:
+            continue
+        if hit is None:
+            continue
+        ci, fi = hit
+        close_u, far_u = read.up_close[ci], read.up_far[fi]
+        if read.matched_d == PLUS:
+            read.right = close_u.abs_loc - close_u.length_str + 1
+            read.left = far_u.abs_loc + far_u.length_str - 1
+            read.bp = close_u.length_str - 1
+            read.indel_size = close_u.abs_loc - far_u.abs_loc + 1
+            read.bp_right = close_u.abs_loc - SPACER
+            read.bp_left = far_u.abs_loc - SPACER
+        else:
+            read.right = far_u.abs_loc - far_u.length_str + 1
+            read.left = close_u.abs_loc + close_u.length_str - 1
+            read.bp = far_u.length_str - 1
+            read.indel_size = far_u.abs_loc - close_u.abs_loc + 1
+            read.bp_right = far_u.abs_loc - SPACER
+            read.bp_left = close_u.abs_loc - SPACER
+        if read.bp_left != 0:
+            left_most_td(read, ctx)
+            if not read.used:
+                _place_read(read, idx, ctx, boxes)
+        if not read.used:
+            _td_scalar_read(read, idx, ctx, boxes)
+
+
+def _td_scalar_read(read: SplitRead, idx: int, ctx: WindowContext,
+                    boxes: List[List[int]]) -> None:
+    """Bit-exact reference fallback for one read."""
+    if True:
         if read.matched_d == PLUS:
             for budget in range(read.max_snp_error + 1):
                 for ci in range(len(read.up_close)):
@@ -435,21 +593,22 @@ def search_tandem_duplications_nt(reads: List[SplitRead], ctx: WindowContext,
             _place_read(read, idx, ctx, boxes)
 
 
+def _place_no_transgress(read, idx, ctx, boxes):
+    """INV Minus-branch placement: no bin-boundary deferral (reference
+    asymmetry, search_inversions.cpp:190-200)."""
+    if read_in_specified_region(read, ctx):
+        box_index = read.bp_left // ctx.box_size
+        if box_index < ctx.num_boxes:
+            boxes[box_index].append(idx)
+            read.used = True
+
+
 def search_inversions(reads: List[SplitRead], ctx: WindowContext,
                       boxes: List[List[int]], settings: Settings) -> None:
     """Reference: searchInversions (search_inversions.cpp:30-280).
 
-    The Minus branches skip the bin-boundary deferral (reference asymmetry).
-    """
+    Vectorized pair selection; reference loop as fallback."""
     min_inv = settings.min_inversion_size
-
-    def place_no_transgress(read, idx):
-        if read_in_specified_region(read, ctx):
-            box_index = read.bp_left // ctx.box_size
-            if box_index < ctx.num_boxes:
-                boxes[box_index].append(idx)
-                read.used = True
-
     for idx, read in enumerate(reads):
         if read.used or not read.up_far \
                 or read.frag_name != read.far_frag_name:
@@ -457,6 +616,90 @@ def search_inversions(reads: List[SplitRead], ctx: WindowContext,
         if not (read.up_close[0].strand != read.up_far[0].strand
                 and read.up_close[0].direction == read.up_far[0].direction):
             continue
+        cl, fa = _read_anchors(read)
+        L = read.read_length
+        lens_eq = cl[1][:, None] + fa[1][None, :] == L
+        hit = None
+        branch = None
+        if read.matched_d == PLUS:
+            if read.up_far[0].abs_loc > read.last_abs_loc_close_end() + min_inv:
+                pred = (lens_eq & ~fa[3][None, :]
+                        & (fa[0][None, :] > cl[0][:, None] + min_inv))
+                hit = pick_first_pair(pred, cl[2], fa[2], read.max_snp_error,
+                                      ci_asc=False, fi_asc=True)
+                branch = "p1"
+            elif read.up_far[-1].abs_loc + min_inv < read.up_close[0].abs_loc:
+                pred = (lens_eq & ~fa[3][None, :]
+                        & (fa[0][None, :] + min_inv < cl[0][:, None]))
+                hit = pick_first_pair(pred, cl[2], fa[2], read.max_snp_error,
+                                      ci_asc=True, fi_asc=False)
+                branch = "p2"
+        elif read.matched_d == MINUS:
+            if read.up_close[-1].abs_loc > read.up_far[0].abs_loc + min_inv:
+                pred = (lens_eq & fa[3][None, :]
+                        & (cl[0][:, None] > fa[0][None, :] + min_inv))
+                hit = pick_first_pair(pred, cl[2], fa[2], read.max_snp_error,
+                                      ci_asc=False, fi_asc=True)
+                branch = "m1"
+            elif read.up_close[0].abs_loc + min_inv < read.up_far[-1].abs_loc:
+                pred = (lens_eq & fa[3][None, :]
+                        & (cl[0][:, None] + min_inv < fa[0][None, :]))
+                hit = pick_first_pair(pred, cl[2], fa[2], read.max_snp_error,
+                                      ci_asc=True, fi_asc=False)
+                branch = "m2"
+        if hit is None:
+            continue
+        ci, fi = hit
+        close_u, far_u = read.up_close[ci], read.up_far[fi]
+        read.nt_str = ""
+        read.nt_size = 0
+        if branch == "p1":
+            read.left = (close_u.abs_loc + 1) - close_u.length_str
+            read.right = far_u.abs_loc - far_u.length_str + L
+            read.bp = close_u.length_str - 1
+            read.indel_size = far_u.abs_loc - close_u.abs_loc
+            read.bp_left = close_u.abs_loc + 1 - SPACER
+            read.bp_right = far_u.abs_loc - SPACER
+        elif branch == "p2":
+            read.right = close_u.abs_loc - close_u.length_str + L
+            read.left = far_u.abs_loc - far_u.length_str + 1
+            read.bp = far_u.length_str - 1
+            read.indel_size = close_u.abs_loc - far_u.abs_loc
+            read.bp_right = close_u.abs_loc - SPACER
+            read.bp_left = (far_u.abs_loc + 1) - SPACER
+        elif branch == "m1":
+            read.left = far_u.abs_loc + far_u.length_str - L
+            read.right = close_u.abs_loc + close_u.length_str - 1
+            read.bp = far_u.length_str - 1
+            read.indel_size = close_u.abs_loc - far_u.abs_loc
+            read.bp_left = far_u.abs_loc - SPACER
+            read.bp_right = close_u.abs_loc - 1 - SPACER
+        else:
+            read.right = far_u.abs_loc + far_u.length_str - 1
+            read.left = close_u.abs_loc + close_u.length_str - L
+            read.bp = close_u.length_str - 1
+            read.indel_size = far_u.abs_loc - close_u.abs_loc
+            read.bp_left = close_u.abs_loc - SPACER
+            read.bp_right = far_u.abs_loc - 1 - SPACER
+        left_most_inv(read, ctx)
+        if not read.used:
+            if branch in ("p1", "p2"):
+                _place_read(read, idx, ctx, boxes)
+            else:
+                _place_no_transgress(read, idx, ctx, boxes)
+        if not read.used:
+            _inv_scalar_read(read, idx, ctx, boxes, settings)
+
+
+def _inv_scalar_read(read: SplitRead, idx: int, ctx: WindowContext,
+                     boxes: List[List[int]], settings: Settings) -> None:
+    """Bit-exact reference fallback for one read."""
+    min_inv = settings.min_inversion_size
+
+    def place_no_transgress(read, idx):
+        _place_no_transgress(read, idx, ctx, boxes)
+
+    if True:
         if read.matched_d == PLUS:
             if read.up_far[0].abs_loc > \
                     read.last_abs_loc_close_end() + min_inv:

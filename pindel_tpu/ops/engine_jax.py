@@ -33,10 +33,11 @@ import numpy as np
 from pindel_tpu import dna
 from pindel_tpu.config import MAX_READ_LENGTH
 from pindel_tpu.ops.search_np import Lane
-from pindel_tpu.reads import UniquePoint
+from pindel_tpu.reads import AnchorSet
 
-DEAD = jnp.int32(127)
-BIGW = jnp.int32(2**30)
+DEAD = 127      # dead-candidate mismatch level sentinel (plain int:
+                # a jnp constant here would initialize the backend at
+                # import time)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -158,7 +159,41 @@ def _search_kernel(chrom, slice_start, reverse, qq, valid_w, qlen,
             & len_ok
             & ~rep_strict_bad
             & whole_read_bad_fit)
-    return emit, min_mm, rep_lane, rep_w, full_mm
+
+    # ---- pack everything into ONE narrow buffer: the device→host relay
+    # costs ~40ms latency per transfer + ~30MB/s, so both transfer count
+    # and byte count matter.
+    # full_mm is only consumed for the LAST emitted length of each read.
+    lidx = jnp.arange(lmax, dtype=jnp.int32)[None, :]
+    last_emit = jnp.max(jnp.where(emit, lidx, -1), axis=1)       # [B]
+    full_last = jnp.take_along_axis(
+        full_mm, jnp.maximum(last_emit, 0)[:, None], axis=1)[:, 0]
+    full_last = jnp.where(last_emit >= 0, full_last, 0).astype(jnp.int16)
+
+    rep_w16 = rep_w.astype(jnp.int16)
+    packed = jnp.concatenate([
+        emit.astype(jnp.int8),
+        min_mm.astype(jnp.int8),
+        rep_lane.astype(jnp.int8),
+        jax.lax.bitcast_convert_type(rep_w16, jnp.int8).reshape(
+            rep_w16.shape[0], -1),
+        jax.lax.bitcast_convert_type(full_last[:, None], jnp.int8).reshape(
+            full_last.shape[0], -1),
+    ], axis=1)
+    return packed
+
+
+def unpack_kernel_output(packed: np.ndarray, lmax: int):
+    """Host-side split of the packed kernel buffer."""
+    packed = np.asarray(packed)
+    emit = packed[:, :lmax].astype(bool)
+    min_mm = packed[:, lmax:2 * lmax]
+    rep_lane = packed[:, 2 * lmax:3 * lmax]
+    rep_w = np.ascontiguousarray(
+        packed[:, 3 * lmax:5 * lmax]).view(np.int16)
+    full_last = np.ascontiguousarray(
+        packed[:, 5 * lmax:5 * lmax + 2]).view(np.int16)[:, 0]
+    return emit, min_mm, rep_lane, rep_w, full_last
 
 
 @dataclasses.dataclass
@@ -168,16 +203,42 @@ class _Launch:
     nl: int
 
 
+def enable_compile_cache(path: str = "/tmp/pindel_tpu_jax_cache") -> None:
+    """Persistent XLA compilation cache — compiles survive process restarts
+    (important: each compile goes through the remote-compile tunnel)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+
+def _next_b_bucket(b: int, buckets=(256, 2048, 8192)) -> int:
+    for bb in buckets:
+        if b <= bb:
+            return bb
+    return buckets[-1]
+
+
 class JaxBackend:
-    """Backend with the Searcher-facing ``run`` interface."""
+    """Backend with the Searcher-facing ``run`` interface.
+
+    Batch size and window width are bucketed aggressively (each distinct
+    static shape is a fresh — slow, remote — XLA compile); batches larger
+    than the top bucket are chunked.
+    """
+
+    MAX_CHUNK = 8192
 
     def __init__(self, settings, maxmm: np.ndarray, chrom_codes: np.ndarray,
-                 w_buckets: Sequence[int] = (128, 512, 2048, 8192, 32768)):
+                 w_buckets: Sequence[int] = (512, 2048, 8192, 32768)):
         self.mpm = settings.min_perfect_match_around_bp
         self.rate = settings.max_allowed_mismatch_rate
         self.maxmm_dev = jnp.asarray(maxmm, dtype=jnp.int32)
         self.chrom_dev = jax.device_put(jnp.asarray(chrom_codes))
         self.w_buckets = tuple(sorted(w_buckets))
+        enable_compile_cache()
 
     def _bucket(self, width: int) -> int:
         for b in self.w_buckets:
@@ -187,25 +248,37 @@ class JaxBackend:
 
     def run(self, batch_lanes: List[List[Lane]], bp_start: int,
             max_snps: Sequence[int], tsec_minus: Sequence[int]
-            ) -> List[Tuple[List[UniquePoint], int]]:
+            ) -> List[Tuple[AnchorSet, int]]:
         if not batch_lanes:
             return []
+        if len(batch_lanes) > self.MAX_CHUNK:
+            out: List[Tuple[AnchorSet, int]] = []
+            for lo in range(0, len(batch_lanes), self.MAX_CHUNK):
+                hi = lo + self.MAX_CHUNK
+                out.extend(self.run(batch_lanes[lo:hi], bp_start,
+                                    max_snps[lo:hi], tsec_minus[lo:hi]))
+            return out
         nl = max(len(lanes) for lanes in batch_lanes)
         widths = [max((l.end - l.start) for l in lanes) if lanes else 1
                   for lanes in batch_lanes]
         w = self._bucket(max(max(widths), 1))
         qlens = [int(lanes[0].query.shape[0]) for lanes in batch_lanes]
-        lmax = _round_up(max(qlens), 32)
+        lmax = _round_up(max(qlens), 128)   # coarse: fewer compiled shapes
         from pindel_tpu.genome import SPACER
         assert w + lmax <= SPACER, (
             f"window bucket {w}+{lmax} exceeds spacer; chunked far-end search "
             "for very large -x not yet implemented")
 
-        b = len(batch_lanes)
+        b = _next_b_bucket(len(batch_lanes))
+        n_real = len(batch_lanes)
         slice_start = np.zeros((b, nl), dtype=np.int32)
         rev = np.zeros((b, nl), dtype=bool)
         qq = np.full((b, nl, lmax), dna.N, dtype=np.int8)
         valid_w = np.zeros((b, nl), dtype=np.int32)
+        lane_dir_minus = np.zeros((b, nl), dtype=bool)
+        lane_strand_minus = np.zeros((b, nl), dtype=bool)
+        lane_fwd = np.ones((b, nl), dtype=bool)
+        lane_chr = [[""] * nl for _ in range(b)]
         for i, lanes in enumerate(batch_lanes):
             for j, lane in enumerate(lanes):
                 lw = max(lane.end - lane.start, 0)
@@ -217,42 +290,92 @@ class JaxBackend:
                     slice_start[i, j] = lane.end - w - lmax
                     rev[i, j] = True
                     qq[i, j, :n] = lane.query[::-1]
+                    lane_fwd[i, j] = False
                 valid_w[i, j] = min(lw, w)
+                lane_dir_minus[i, j] = lane.direction == "-"
+                lane_strand_minus[i, j] = lane.strand == "-"
+                lane_chr[i][j] = lane.chr_name
 
-        max_allowed = np.float32(
+        qlen_a = np.zeros(b, dtype=np.int32)
+        qlen_a[:n_real] = qlens
+        ms_a = np.zeros(b, dtype=np.int32)
+        ms_a[:n_real] = max_snps
+        tm_a = np.zeros(b, dtype=np.int32)
+        tm_a[:n_real] = tsec_minus
+        max_allowed = np.zeros(b, dtype=np.float32)
+        max_allowed[:n_real] = np.float32(
             np.array(qlens, dtype=np.float64) * np.float64(self.rate))
-        emit, min_mm, rep_lane, rep_w, full_mm = jax.device_get(
+        packed = jax.device_get(
             _search_kernel(
                 self.chrom_dev,
                 jnp.asarray(slice_start), jnp.asarray(rev), jnp.asarray(qq),
-                jnp.asarray(valid_w), jnp.asarray(qlens, dtype=jnp.int32),
-                jnp.asarray(max_snps, dtype=jnp.int32),
-                jnp.asarray(tsec_minus, dtype=jnp.int32),
+                jnp.asarray(valid_w), jnp.asarray(qlen_a),
+                jnp.asarray(ms_a), jnp.asarray(tm_a),
                 self.maxmm_dev, jnp.asarray(max_allowed),
                 w=w, lmax=lmax, nl=nl, mpm=self.mpm,
                 bp_start=bp_start))
+        emit, min_mm, rep_lane, rep_w, full_last = unpack_kernel_output(
+            packed[:n_real], lmax)
 
-        results: List[Tuple[List[UniquePoint], int]] = []
-        for i, lanes in enumerate(batch_lanes):
-            ups: List[UniquePoint] = []
-            last_full = 0
-            for l_idx in np.nonzero(emit[i])[0]:
-                length = int(l_idx) + 1
-                j = int(rep_lane[i, l_idx])
-                if j >= len(lanes):
-                    continue
-                lane = lanes[j]
-                wi = int(rep_w[i, l_idx])
-                if lane.forward:
-                    abs_loc = lane.start + wi + length - 1
-                else:
-                    # tile index wi maps to p0 counted from the tile end
-                    p0 = (slice_start[i, j] + w + lmax - 1) - wi
-                    abs_loc = int(p0) - (length - 1)
-                ups.append(UniquePoint(
-                    chr_name=lane.chr_name, length_str=length,
-                    abs_loc=int(abs_loc), direction=lane.direction,
-                    strand=lane.strand, mismatches=int(min_mm[i, l_idx])))
-                last_full = int(full_mm[i, l_idx])
-            results.append((ups, last_full))
-        return results
+        return decode_emissions(
+            emit, min_mm, rep_lane, rep_w, full_last,
+            slice_start[:n_real], w, lmax,
+            lane_fwd[:n_real], lane_dir_minus[:n_real],
+            lane_strand_minus[:n_real], lane_chr[:n_real])
+
+
+def decode_emissions(emit, min_mm, rep_lane, rep_w, full_last,
+                     slice_start, w: int, lmax: int, lane_fwd,
+                     lane_dir_minus, lane_strand_minus, lane_chr
+                     ) -> List[Tuple[AnchorSet, int]]:
+    """Vectorized (read, length) → AnchorSet conversion.
+
+    One numpy pass over all emissions; no per-anchor Python objects —
+    each read gets a struct-of-arrays AnchorSet slice.  ``full_last`` is
+    the whole-read mismatch count at each read's last emission ([B]).
+    """
+    b = emit.shape[0]
+    emit = np.asarray(emit)
+    flat = np.flatnonzero(emit)
+    if flat.size == 0:
+        return [(AnchorSet.empty(), 0) for _ in range(b)]
+    rows = flat // lmax
+    lcols = flat % lmax
+    lengths = (lcols + 1).astype(np.int64)
+    lanes_sel = np.asarray(rep_lane)[rows, lcols]
+    wi = np.asarray(rep_w)[rows, lcols]
+    ss = slice_start[rows, lanes_sel].astype(np.int64)
+    mm = np.asarray(min_mm)[rows, lcols].astype(np.int64)
+    fwd = lane_fwd[rows, lanes_sel]
+    dirm = lane_dir_minus[rows, lanes_sel]
+    strm = lane_strand_minus[rows, lanes_sel]
+    abs_loc = np.where(
+        fwd, ss + wi + lengths - 1,
+        (ss + w + lmax - 1 - wi) - (lengths - 1)).astype(np.int64)
+
+    results: List[Tuple[AnchorSet, int]] = []
+    bounds = np.searchsorted(rows, np.arange(b + 1))
+    cid0 = np.zeros(0, dtype=np.int8)
+    for i in range(b):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if lo == hi:
+            results.append((AnchorSet.empty(), 0))
+            continue
+        sl = slice(lo, hi)
+        lanes_i = lanes_sel[sl]
+        chrs = lane_chr[i]
+        if len(set(chrs)) <= 1:
+            chr_names = [chrs[0]] if chrs else []
+            cid = np.zeros(hi - lo, dtype=np.int8) if chrs else cid0
+        else:
+            chr_names = []
+            lane_cid = np.empty(len(chrs), dtype=np.int8)
+            for j, c in enumerate(chrs):
+                if c not in chr_names:
+                    chr_names.append(c)
+                lane_cid[j] = chr_names.index(c)
+            cid = lane_cid[lanes_i]
+        results.append((AnchorSet(lengths[sl], abs_loc[sl], mm[sl],
+                                  dirm[sl], strm[sl], chr_names, cid),
+                        int(full_last[i])))
+    return results

@@ -38,6 +38,25 @@ from pindel_tpu.search import Searcher
 AROUND_REGION_BUFFER = 10_000   # pindel.cpp:127
 
 
+class BoxMap:
+    """Sparse stand-in for the reference's per-box index arrays: most of
+    the NumBoxes (~2·chrom/BoxSize) boxes are empty, so materialize only
+    the touched ones; iteration is in box-index order like the reference's
+    0..NumBoxes-1 scan."""
+
+    def __init__(self) -> None:
+        self._m: Dict[int, List[int]] = {}
+
+    def __getitem__(self, i: int) -> List[int]:
+        box = self._m.get(i)
+        if box is None:
+            box = self._m[i] = []
+        return box
+
+    def __iter__(self):
+        return iter([self._m[k] for k in sorted(self._m)])
+
+
 @dataclasses.dataclass
 class BedRegion:
     chr_name: str
@@ -123,7 +142,9 @@ class Pipeline:
             if (read.frag_name == chrom.name
                     and read.matched_rel_pos >= window.current_start
                     and read.matched_rel_pos < window.current_end):
-                r = copy.deepcopy(read)
+                # shallow copy is safe: search/detection always *assign*
+                # fresh lists/strings, never mutate shared ones
+                r = copy.copy(read)
                 if r.matched_rel_pos > chrom.biol_size:
                     r.matched_rel_pos = chrom.biol_size
                 if r.matched_rel_pos < 0:
@@ -197,8 +218,8 @@ class Pipeline:
                                  box_size=box_size, num_boxes=num_boxes,
                                  future=[])
 
-        def boxes() -> List[List[int]]:
-            return [[] for _ in range(num_boxes)]
+        def boxes() -> "BoxMap":
+            return BoxMap()
 
         d_boxes = boxes()
         SearchDeletions().search(reads, ctx(), d_boxes)

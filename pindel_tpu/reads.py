@@ -11,7 +11,7 @@ Reference structures: ``SPLIT_READ`` (pindel.h:265-383), ``UniquePoint``
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, List, Optional
+from typing import Iterator, List, NamedTuple, Optional
 
 import numpy as np
 
@@ -25,9 +25,12 @@ SENSE = "+"
 ANTISENSE = "-"
 
 
-@dataclasses.dataclass
-class UniquePoint:
-    """A unique partial alignment anchor (reference pindel.h:137-158)."""
+class UniquePoint(NamedTuple):
+    """A unique partial alignment anchor (reference pindel.h:137-158).
+
+    Materialized on demand from AnchorSet — per-anchor Python objects are
+    off the hot path.
+    """
 
     chr_name: str
     length_str: int          # matched prefix/suffix length
@@ -35,6 +38,79 @@ class UniquePoint:
     direction: str           # FORWARD '+' / BACKWARD '-'
     strand: str              # SENSE '+' / ANTISENSE '-'
     mismatches: int
+
+
+class AnchorSet:
+    """Struct-of-arrays anchor list (the UP_Close / UP_Far of one read).
+
+    Hundreds of thousands of anchors are produced per device batch; they
+    are kept as numpy arrays end-to-end (detectors consume the arrays
+    directly) and only converted to UniquePoint views on indexed access.
+    """
+
+    __slots__ = ("length", "loc", "mm", "dir_minus", "strand_minus",
+                 "chr_names", "chr_id")
+
+    def __init__(self, length, loc, mm, dir_minus, strand_minus,
+                 chr_names, chr_id):
+        self.length = length              # int64 [n]
+        self.loc = loc                    # int64 [n]
+        self.mm = mm                      # int64 [n]
+        self.dir_minus = dir_minus        # bool  [n]
+        self.strand_minus = strand_minus  # bool  [n]
+        self.chr_names = chr_names        # small list[str], indexed by
+        self.chr_id = chr_id              # int8  [n] into chr_names
+
+    @classmethod
+    def empty(cls) -> "AnchorSet":
+        z = np.zeros(0, dtype=np.int64)
+        b = np.zeros(0, dtype=bool)
+        return cls(z, z, z, b, b, [], np.zeros(0, dtype=np.int8))
+
+    @classmethod
+    def from_points(cls, ups: List[UniquePoint]) -> "AnchorSet":
+        n = len(ups)
+        length = np.empty(n, dtype=np.int64)
+        loc = np.empty(n, dtype=np.int64)
+        mm = np.empty(n, dtype=np.int64)
+        dm = np.empty(n, dtype=bool)
+        sm = np.empty(n, dtype=bool)
+        chr_names: List[str] = []
+        cid = np.empty(n, dtype=np.int8)
+        for i, u in enumerate(ups):
+            length[i] = u.length_str
+            loc[i] = u.abs_loc
+            mm[i] = u.mismatches
+            dm[i] = u.direction == MINUS
+            sm[i] = u.strand == MINUS
+            if u.chr_name not in chr_names:
+                chr_names.append(u.chr_name)
+            cid[i] = chr_names.index(u.chr_name)
+        return cls(length, loc, mm, dm, sm, chr_names, cid)
+
+    def __len__(self) -> int:
+        return int(self.length.shape[0])
+
+    def __bool__(self) -> bool:
+        return self.length.shape[0] > 0
+
+    def __getitem__(self, i: int) -> UniquePoint:
+        if i < 0:
+            i += len(self)
+        return UniquePoint(
+            chr_name=self.chr_names[self.chr_id[i]] if self.chr_names else "",
+            length_str=int(self.length[i]), abs_loc=int(self.loc[i]),
+            direction=MINUS if self.dir_minus[i] else "+",
+            strand=MINUS if self.strand_minus[i] else "+",
+            mismatches=int(self.mm[i]))
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+    def select(self, mask: np.ndarray) -> "AnchorSet":
+        return AnchorSet(self.length[mask], self.loc[mask], self.mm[mask],
+                         self.dir_minus[mask], self.strand_minus[mask],
+                         self.chr_names, self.chr_id[mask])
 
 
 @dataclasses.dataclass
@@ -53,8 +129,8 @@ class SplitRead:
     mapper_split: bool = False
 
     # close/far anchors, filled by the search
-    up_close: List[UniquePoint] = dataclasses.field(default_factory=list)
-    up_far: List[UniquePoint] = dataclasses.field(default_factory=list)
+    up_close: "AnchorSet" = dataclasses.field(default_factory=AnchorSet.empty)
+    up_far: "AnchorSet" = dataclasses.field(default_factory=AnchorSet.empty)
 
     # event fields, filled by detectors (reference SPLIT_READ members)
     used: bool = False
@@ -91,45 +167,45 @@ class SplitRead:
 
     # --- anchor helpers (reference pindel.cpp:475-518) ---
     def max_len_close(self) -> int:
-        return self.up_close[-1].length_str if self.up_close else 0
+        n = len(self.up_close)
+        return int(self.up_close.length[n - 1]) if n else 0
 
     def max_len_far(self) -> int:
-        return self.up_far[-1].length_str if self.up_far else 0
+        n = len(self.up_far)
+        return int(self.up_far.length[n - 1]) if n else 0
 
     def has_close_end(self) -> bool:
         return bool(self.up_close)
 
     def last_abs_loc_close_end(self) -> int:
-        return self.up_close[-1].abs_loc
+        return int(self.up_close.loc[len(self.up_close) - 1])
 
     def good_far_end_found(self) -> bool:
         return self.max_len_far() + self.max_len_close() >= len(self.seq)
 
 
-def clean_unique_points(ups: List[UniquePoint]) -> List[UniquePoint]:
+def clean_unique_points(ups: AnchorSet) -> AnchorSet:
     """Keep only the anchor chain consistent with the longest match.
 
-    Reference: CleanUniquePoints, pindel.cpp:2904-2941.
+    Reference: CleanUniquePoints, pindel.cpp:2904-2941.  Vectorized over
+    the AnchorSet arrays.
     """
     if not ups:
         return ups
-    last = ups[-1]
-    out = []
-    if last.direction == FORWARD:
-        terminal = last.abs_loc - last.length_str
-        for up in ups:
-            if (up.chr_name == last.chr_name and up.direction == last.direction
-                    and up.strand == last.strand
-                    and up.abs_loc - up.length_str == terminal):
-                out.append(up)
+    n = len(ups)
+    last_dir_minus = bool(ups.dir_minus[n - 1])
+    if not last_dir_minus:
+        terminal = ups.loc[n - 1] - ups.length[n - 1]
+        mask = ups.loc - ups.length == terminal
     else:
-        terminal = last.abs_loc + last.length_str
-        for up in ups:
-            if (up.chr_name == last.chr_name and up.direction == last.direction
-                    and up.strand == last.strand
-                    and up.abs_loc + up.length_str == terminal):
-                out.append(up)
-    return out
+        terminal = ups.loc[n - 1] + ups.length[n - 1]
+        mask = ups.loc + ups.length == terminal
+    mask &= (ups.dir_minus == last_dir_minus)
+    mask &= (ups.strand_minus == ups.strand_minus[n - 1])
+    mask &= (ups.chr_id == ups.chr_id[n - 1])
+    if mask.all():
+        return ups
+    return ups.select(mask)
 
 
 def read_pindel_file(path: str) -> Iterator[SplitRead]:

@@ -27,8 +27,9 @@ from pindel_tpu.config import Settings
 from pindel_tpu.genome import SPACER, Chromosome
 from pindel_tpu.ops import search_np
 from pindel_tpu.ops.search_np import Lane
-from pindel_tpu.reads import (ANTISENSE, BACKWARD, FORWARD, MINUS, PLUS, SENSE,
-                              SplitRead, UniquePoint, clean_unique_points)
+from pindel_tpu.reads import (ANTISENSE, BACKWARD, FORWARD, MINUS, PLUS,
+                              SENSE, AnchorSet, SplitRead, UniquePoint,
+                              clean_unique_points)
 
 
 class NumpyBackend:
@@ -54,7 +55,7 @@ class NumpyBackend:
                 max_mismatch=self.maxmm,
                 mpm=s.min_perfect_match_around_bp,
                 mismatch_rate=s.max_allowed_mismatch_rate)
-            out.append((ups, full_mm))
+            out.append((AnchorSet.from_points(ups), full_mm))
         return out
 
 
@@ -219,7 +220,7 @@ class Searcher:
             [b[0] for b in budgets], [b[1] for b in budgets])
         for r, (ups, full_mm) in zip(reads, results):
             # NewUPFarIsBetter, farend_searcher.cpp:30-44
-            new_max = ups[-1].length_str if ups else 0
+            new_max = int(ups.length[len(ups) - 1]) if ups else 0
             if new_max >= r.max_len_far():
                 r.up_far = ups
                 if ups:

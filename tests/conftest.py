@@ -1,11 +1,26 @@
 import os
+import sys
 
-# Virtual 8-device CPU mesh so sharding tests run without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests always run on a virtual 8-device CPU mesh: fast, deterministic, and
+# exercises multi-chip sharding without TPU hardware.  The environment may
+# pre-register the real TPU backend (axon plugin via sitecustomize, which
+# programmatically sets jax_platforms="axon,cpu" before this file runs), so
+# an env override alone is not enough — update the config and drop any
+# initialized backends.  bench.py / __graft_entry__.py keep the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import sys
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(__file__))

@@ -135,11 +135,11 @@ def test_far_end_matches_recursion(seed):
 
 
 def test_clean_unique_points_chain():
-    from pindel_tpu.reads import UniquePoint
-    ups = [
+    from pindel_tpu.reads import AnchorSet, UniquePoint
+    ups = AnchorSet.from_points([
         UniquePoint("c", 10, 109, "+", "-", 0),
         UniquePoint("c", 12, 115, "+", "-", 0),  # different start -> dropped
         UniquePoint("c", 15, 114, "+", "-", 1),
-    ]
+    ])
     out = clean_unique_points(ups)
     assert ups_key(out) == [(10, 109, "+", "-", 0), (15, 114, "+", "-", 1)]
