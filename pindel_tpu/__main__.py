@@ -36,6 +36,15 @@ def main(argv=None) -> int:
     ap.add_argument("-s", "--report_close_mapped_reads", action="store_true")
     ap.add_argument("-S", "--report_only_close_mapped_reads",
                     action="store_true")
+    ap.add_argument("-l", "--report_long_insertions", action="store_true")
+    ap.add_argument("-k", "--report_breakpoints", action="store_true")
+    ap.add_argument("--force_bp_output", action="store_true",
+                    help="resurrect the BP detector the reference disabled")
+    ap.add_argument("-r", "--report_inversions", action="store_true",
+                    default=True)
+    ap.add_argument("-t", "--report_duplications", action="store_true",
+                    default=True)
+    ap.add_argument("-v", "--min_inversion_size", type=int, default=50)
     ap.add_argument("--backend", choices=["numpy", "jax"], default="jax")
     args = ap.parse_args(argv)
 
@@ -52,6 +61,12 @@ def main(argv=None) -> int:
         num_reads_to_report_cutoff=args.minimum_support_for_event,
         report_close_mapped_reads=args.report_close_mapped_reads,
         report_only_close_mapped_reads=args.report_only_close_mapped_reads,
+        analyze_li=args.report_long_insertions,
+        analyze_bp=args.report_breakpoints,
+        force_bp_output=args.force_bp_output,
+        analyze_inv=args.report_inversions,
+        analyze_td=args.report_duplications,
+        min_inversion_size=args.min_inversion_size,
         region=args.chromosome,
     )
     run_files(args.fasta, args.pindel_file, args.output_prefix,

@@ -42,7 +42,10 @@ class Settings:
     analyze_inv: bool = True              # -r
     analyze_td: bool = True               # -t
     analyze_li: bool = False              # -l
-    analyze_bp: bool = False              # -k
+    analyze_bp: bool = False              # -k (reference leaves _BP empty:
+                                          #     call site commented out,
+                                          #     pindel.cpp:1171-1173)
+    force_bp_output: bool = False         # ours: resurrect the BP detector
     report_close_mapped_reads: bool = False       # -s
     report_only_close_mapped_reads: bool = False  # -S
     report_interchromosomal_events: bool = False  # -I

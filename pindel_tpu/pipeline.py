@@ -32,6 +32,7 @@ from pindel_tpu.report.reporter import (ReporterState,
                                         do_sort_and_output_inversions,
                                         sort_and_output_tandem_duplications,
                                         sort_output_d, sort_output_di,
+                                        sort_output_li, sort_output_rest,
                                         sort_output_si)
 from pindel_tpu.search import Searcher
 
@@ -177,6 +178,11 @@ class Pipeline:
                 self.state.region_start = window.current_start
                 self.state.region_end = window.current_end
                 reads = self._window_reads(chrom, window)
+                for r in reads:
+                    # g_maxInsertSize update in GetCloseEndInner
+                    # (pindel.cpp:2257) — for every read searched
+                    if r.insert_size > self.state.max_insert_size:
+                        self.state.max_insert_size = r.insert_size
                 self.searcher.map_close_ends(chrom, reads)
                 kept = self.searcher.finalize_close_ends(reads)
                 for r in kept:
@@ -257,8 +263,17 @@ class Pipeline:
         SearchShortInsertions().search(reads, ctx(), si_boxes)
         sort_output_si(reads, si_boxes, chr_seq, self._out("SI"), self.state)
 
+        if s.analyze_li:
+            sort_output_li(reads, chr_seq, window.current_start,
+                           window.current_end, self._out("LI"), self.state)
+        # the reference never calls its BP detector (pindel.cpp:1171-1173
+        # commented out): -k leaves _BP empty; force_bp_output resurrects it
+        if s.force_bp_output:
+            sort_output_rest(reads, chr_seq, window.current_start,
+                             window.current_end, self._out("BP"), self.state)
+        else:
+            self._out("BP")
         self._out("LI")
-        self._out("BP")
 
 
 def run_files(reference_fa: str, pindel_file: str, output_prefix: str,

@@ -14,6 +14,8 @@ import dataclasses
 import math
 from typing import Dict, List, Optional, TextIO
 
+import numpy as np
+
 from pindel_tpu.config import Settings
 from pindel_tpu.events.canonical import (cap2low, get_real_start_4_deletion,
                                          get_real_start_4_insertion,
@@ -135,6 +137,8 @@ class ReporterState:
         self.num_si = 0                 # NumberOfSIsInstances
         self.num_inv = 0                # g_numberOfInvInstances
         self.num_td = 0                 # NumberOfTDInstances
+        self.count_li = 0               # SortOutputLI's static Count_LI
+        self.max_insert_size = 0        # g_maxInsertSize (pindel.cpp:114)
         self.mask: Optional[bytearray] = None   # CurrentChrMask
         self.region_start = 0           # g_RegionStart
         self.region_end = 0             # g_RegionEnd
@@ -870,6 +874,293 @@ def sort_output_si(reads: List[SplitRead], boxes: List[List[int]],
             if ev.support >= cutoff and ev.real_start < ev.real_end:
                 output_sis(good, chr_seq, ev.start, ev.end,
                            ev.real_start, ev.real_end, out, state)
+
+
+# ------------------------------------------------------------------- LI / BP
+
+MAX_SHORT = 128          # pileup counter saturation, reference pindel.h:126
+LI_HASH = "#" * 56       # SortOutputLI's shorter hash ruler
+LI_DASH = "-" * 56
+
+
+class _ShiftedCounts:
+    """Clamped-index window arrays (reference shifted_vector.h:40-55)."""
+
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi                           # inclusive, like the reference
+        n = hi - lo + 1
+        self.plus = np.zeros(n, dtype=np.int32)
+        self.minus = np.zeros(n, dtype=np.int32)
+        self.event = np.full(n, -1, dtype=np.int32)
+
+    def clamp(self, pos: int) -> int:
+        return min(max(pos, self.lo), self.hi) - self.lo
+
+
+def _largest_b(b_positions: np.ndarray, a: int, b: int) -> int:
+    """Largest masked ('B') position in [a, b], or -1.
+
+    Equals the reference's descending scan from b to a that breaks at the
+    first hit (reporter.cpp:1912-1919).
+    """
+    j = int(np.searchsorted(b_positions, b, side="right")) - 1
+    if j >= 0 and b_positions[j] >= a:
+        return int(b_positions[j])
+    return -1
+
+
+def sort_output_li(reads: List[SplitRead], chr_seq: str, window_start: int,
+                   window_end: int, out: TextIO,
+                   state: ReporterState) -> None:
+    """Long-insertion pileup detector (reference SortOutputLI,
+    reporter.cpp:1853-2147).
+
+    Reads with a close end but no far end are piled by the last close-end
+    anchor position per strand; a call pairs a minus pileup >= cutoff with
+    a plus pileup >= cutoff within [-1, +30] bp, skipping positions within
+    10 bp of a 'B' mask mark.  The candidate scan reproduces the
+    reference's in-loop index jumps exactly (including the plus-scan
+    mutating the outer minus index, reporter.cpp:1925-1928).
+    """
+    s = state.settings
+    cutoff = s.num_reads_to_report_cutoff
+    comp_size = len(chr_seq)
+    border = 4 * state.max_insert_size
+    abs_start = SPACER + window_start
+    abs_end = SPACER + window_end
+    if abs_end > comp_size - SPACER:
+        abs_end = comp_size - SPACER
+    lo = abs_start - border
+    hi = abs_end + border
+    sv = _ShiftedCounts(lo, hi)
+
+    eligible: List[int] = []
+    for i, r in enumerate(reads):
+        if r.used or r.up_far:
+            continue
+        eligible.append(i)
+        loc = sv.clamp(int(r.up_close.loc[len(r.up_close) - 1]))
+        if r.matched_d == PLUS:
+            if sv.plus[loc] < MAX_SHORT:
+                sv.plus[loc] += 1
+        else:
+            if sv.minus[loc] < MAX_SHORT:
+                sv.minus[loc] += 1
+
+    mask_np = np.frombuffer(state.mask, dtype=np.uint8)
+    b_positions = np.flatnonzero(mask_np == ord("B"))
+
+    # (plus_pos, minus_pos, plus_read_idx, minus_read_idx) in creation order
+    li_events: List[List] = []
+    minus_cands = np.flatnonzero(sv.minus >= cutoff) + lo
+    pos = lo
+    for cand in minus_cands:
+        im = int(cand)
+        if im < pos or im >= hi:        # outer loop bound is < absEndBuffered
+            continue
+        mb = _largest_b(b_positions, im - 10, im + 10)
+        if mb >= 0:
+            pos = mb + 11               # Index_Minus = mb + 10, then ++
+            continue
+        ip = im - 1
+        while ip <= im + 30:
+            skip = False
+            mp = _largest_b(b_positions, ip - 10, ip + 10)
+            if mp >= 0:
+                if mp + 10 > im:
+                    im = mp + 10        # mutates the outer index (reference)
+                skip = True
+            if not skip and sv.plus[sv.clamp(ip)] >= cutoff:
+                sv.event[sv.clamp(ip)] = len(li_events)
+                sv.event[sv.clamp(im)] = len(li_events)
+                li_events.append([ip, im, [], []])
+            ip += 1
+        pos = im + 1
+
+    if not li_events:
+        return
+
+    for i in eligible:
+        r = reads[i]
+        ei = int(sv.event[sv.clamp(int(r.up_close.loc[len(r.up_close) - 1]))])
+        if ei == -1:
+            continue
+        r.used = True
+        if r.matched_d == PLUS:
+            li_events[ei][2].append(i)
+        else:
+            li_events[ei][3].append(i)
+
+    samples = state.sorted_samples()
+    sample_idx = {name: k for k, name in enumerate(samples)}
+    rl = state.report_length
+    for plus_pos, minus_pos, plus_idx, minus_idx in li_events:
+        if not minus_idx or not plus_idx:
+            continue
+        bal_pp = bal_pm = bal_mp = bal_mm = False
+        for i in minus_idx:
+            r = reads[i]
+            ls = int(r.up_close.length[len(r.up_close) - 1])
+            if float(ls) > r.read_length * 0.5:
+                bal_mp = True
+            elif float(ls) < r.read_length * 0.5:
+                bal_mm = True
+        for i in plus_idx:
+            r = reads[i]
+            ls = int(r.up_close.length[len(r.up_close) - 1])
+            if float(ls) > r.read_length * 0.5:
+                bal_pp = True
+            elif float(ls) < r.read_length * 0.5:
+                bal_pm = True
+        n_plus_tag = [0] * len(samples)
+        n_minus_tag = [0] * len(samples)
+        for i in minus_idx:
+            n_minus_tag[sample_idx[reads[i].tag]] += 1
+        for i in plus_idx:
+            n_plus_tag[sample_idx[reads[i].tag]] += 1
+        supported = any(p > 0 and m > 0
+                        for p, m in zip(n_plus_tag, n_minus_tag))
+        positive = sum((bal_pp, bal_pm, bal_mp, bal_mm))
+        if not (supported and positive >= 1):
+            continue
+
+        first = reads[plus_idx[0]]
+        out.write(LI_HASH + "\n")
+        header = (f"{state.count_li}\tLI\tChrID {first.frag_name}"
+                  f"\t{plus_pos - SPACER + 1}\t+ {len(plus_idx)}"
+                  f"\t{minus_pos - SPACER + 1}\t- {len(minus_idx)}")
+        state.count_li += 1
+        for k, name in enumerate(samples):
+            header += f"\t{name} + {n_plus_tag[k]} - {n_minus_tag[k]}"
+        out.write(header + "\n")
+
+        out.write(chr_seq[plus_pos - rl + 1: plus_pos + 1]
+                  + cap2low(chr_seq[plus_pos + 1: plus_pos + 1 + rl]) + "\n")
+        for i in plus_idx:
+            r = reads[i]
+            ls = int(r.up_close.length[len(r.up_close) - 1])
+            out.write(" " * max(rl - ls, 0) + revcomp_str(r.seq)
+                      + f"\t{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
+                      f"\t{r.tag}\t{r.name}\n")
+
+        out.write(LI_DASH + "\n")
+        out.write(cap2low(chr_seq[minus_pos - rl: minus_pos])
+                  + chr_seq[minus_pos: minus_pos + rl] + "\n")
+        for i in minus_idx:
+            r = reads[i]
+            ls = int(r.up_close.length[len(r.up_close) - 1])
+            # reference quirk: no tab between sequence and strand column
+            out.write(" " * max(rl + ls - r.read_length, 0) + r.seq
+                      + f"{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
+                      f"\t{r.tag}\t{r.name}\n")
+
+
+def sort_output_rest(reads: List[SplitRead], chr_seq: str, window_start: int,
+                     window_end: int, out: TextIO,
+                     state: ReporterState) -> None:
+    """Unassigned-breakpoint detector (reference SortOutputRest,
+    reporter.cpp:2149-2358).
+
+    NOTE: the reference's call site is commented out (pindel.cpp:1171-1173)
+    so `-k` produces an empty _BP file there; we keep that default for
+    bit-parity and expose the resurrected detector behind
+    ``Settings.force_bp_output``.  Cutoff is the fixed
+    NumRead2ReportCutOff_BP = 2 (pindel.cpp:124).
+    """
+    cutoff_bp = 2
+    comp_size = len(chr_seq)
+    border = 4 * state.max_insert_size
+    abs_start = SPACER + window_start
+    abs_end = SPACER + window_end
+    if abs_end > comp_size - SPACER:
+        abs_end = comp_size - SPACER
+    lo = abs_start - border
+    hi = abs_end + border
+    sv = _ShiftedCounts(lo, hi)
+
+    eligible: List[int] = []
+    for i, r in enumerate(reads):
+        if r.used or r.up_far:
+            continue
+        eligible.append(i)
+        loc = sv.clamp(int(r.up_close.loc[len(r.up_close) - 1]))
+        if r.matched_d == PLUS:
+            if sv.plus[loc] < cutoff_bp:
+                sv.plus[loc] += 1
+        else:
+            if sv.minus[loc] < cutoff_bp:
+                sv.minus[loc] += 1
+
+    # (strand, abs position, supporting read indices) in position order
+    rest: List[List] = []
+    for p in range(lo, hi):
+        if sv.plus[p - lo] >= cutoff_bp:
+            rest.append([PLUS, p, []])
+        if sv.minus[p - lo] >= cutoff_bp:
+            rest.append([MINUS, p, []])
+    if not rest:
+        return
+    for i in eligible:
+        r = reads[i]
+        loc = int(r.up_close.loc[len(r.up_close) - 1])
+        for ev in rest:
+            if r.matched_d == ev[0] and loc == ev[1]:
+                r.used = True
+                ev[2].append(i)
+
+    samples = state.sorted_samples()
+    sample_idx = {name: k for k, name in enumerate(samples)}
+    rl = state.report_length
+    for strand, pos, idxs in rest:
+        bal_plus = bal_minus = False
+        for i in idxs:
+            r = reads[i]
+            ls = int(r.up_close.length[len(r.up_close) - 1])
+            if float(ls) > r.read_length * 0.5:
+                bal_plus = True
+            elif float(ls) < r.read_length * 0.5:
+                bal_minus = True
+        if not (bal_plus and bal_minus):
+            continue
+        n_plus = [0] * len(samples)
+        n_minus = [0] * len(samples)
+        for i in idxs:
+            r = reads[i]
+            if r.matched_d == PLUS:
+                n_plus[sample_idx[r.tag]] += 1
+            else:
+                n_minus[sample_idx[r.tag]] += 1
+        first = reads[idxs[0]]
+        out.write(LI_HASH + "\n")
+        if strand == PLUS:
+            header = (f"ChrID {first.frag_name}\t{pos - SPACER + 1}"
+                      f"\t+ {len(idxs)}")
+            for k, name in enumerate(samples):
+                header += f"\t{name} {n_plus[k]}"
+            out.write(header + "\n")
+            out.write(chr_seq[pos - rl + 1: pos + 1]
+                      + cap2low(chr_seq[pos + 1: pos + 1 + rl]) + "\n")
+            for i in idxs:
+                r = reads[i]
+                ls = int(r.up_close.length[len(r.up_close) - 1])
+                out.write(" " * max(rl - ls, 0) + revcomp_str(r.seq)
+                          + f"\t{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
+                          f"\t{r.tag}\t{r.name}\n")
+        else:
+            header = (f"ChrID {first.frag_name}\t{pos - SPACER + 1}"
+                      f"\t- {len(idxs)}")
+            for k, name in enumerate(samples):
+                header += f"\t{name} {n_minus[k]}"
+            out.write(header + "\n")
+            out.write(cap2low(chr_seq[pos - rl: pos])
+                      + chr_seq[pos: pos + rl] + "\n")
+            for i in idxs:
+                r = reads[i]
+                ls = int(r.up_close.length[len(r.up_close) - 1])
+                out.write(" " * max(rl + ls - r.read_length, 0) + r.seq
+                          + f"\t{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
+                          f"\t{r.tag}\t{r.name}\n")
 
 
 def sort_output_di(reads: List[SplitRead], boxes: List[List[int]],

@@ -92,6 +92,37 @@ class Simulator:
         """Sample breakpoint-crossing reads from the ALT haplotype."""
         alt, bp_alt = self.make_alt(ref, ev)
         L = self.read_len
+        if ev.kind == "LI":
+            # the insertion is longer than a read: '+'-anchored mates cross
+            # the LEFT breakpoint, '-'-anchored mates the RIGHT breakpoint,
+            # and neither can find a far end — the LI pileup signature
+            for k in range(n_reads):
+                flank = int(self.rng.integers(min_flank, L - min_flank))
+                gap = int(self.rng.integers(60, self.insert_size - L - 10))
+                self._counter += 1
+                name = f"sim_LI_{ev.pos}_{self._counter}/1"
+                if k % 2 == 0:
+                    start_alt = bp_alt - flank
+                    if start_alt < 0 or start_alt + L > len(alt):
+                        continue
+                    frag = alt[start_alt:start_alt + L]
+                    pos = max(ev.pos - flank - gap, 1) + 1
+                    out.names.append(name)
+                    out.seqs.append(rc(frag))
+                    out.metas.append(("+", chrom, pos, self.mq,
+                                      self.insert_size, self.tag))
+                else:
+                    rb = bp_alt + len(ev.nt)
+                    start_alt = rb - (L - flank)
+                    if start_alt < 0 or start_alt + L > len(alt):
+                        continue
+                    frag = alt[start_alt:start_alt + L]
+                    pos = ev.pos + flank + gap + 1
+                    out.names.append(name)
+                    out.seqs.append(frag)
+                    out.metas.append(("-", chrom, pos, self.mq,
+                                      self.insert_size, self.tag))
+            return
         for _ in range(n_reads):
             flank_left = int(self.rng.integers(min_flank, L - min_flank))
             start_alt = bp_alt - flank_left

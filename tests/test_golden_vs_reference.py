@@ -29,7 +29,7 @@ def oracle():
     return ORACLE
 
 
-def run_scene(tmp_path, oracle, seed, backend="numpy", **scene_kw):
+def run_scene(tmp_path, oracle, seed, backend="numpy", extra=(), **scene_kw):
     from pindel_tpu.testing.simulate import standard_scene, write_fasta
 
     d = str(tmp_path)
@@ -41,14 +41,15 @@ def run_scene(tmp_path, oracle, seed, backend="numpy", **scene_kw):
     reads.write(reads_txt)
 
     r = subprocess.run([oracle, "-f", fa, "-p", reads_txt,
-                        "-o", os.path.join(d, "gold"), "-c", "ALL", "-s"],
+                        "-o", os.path.join(d, "gold"), "-c", "ALL", "-s",
+                        *extra],
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout[-2000:]
 
     from pindel_tpu.__main__ import main
     assert main(["-f", fa, "-p", reads_txt,
                  "-o", os.path.join(d, "ours"), "-s",
-                 "--backend", backend]) == 0
+                 "--backend", backend, *extra]) == 0
     return d, events
 
 
@@ -85,6 +86,16 @@ def test_inv_td_heavy_scene(tmp_path, oracle, seed):
     assert_identical(d, ["CloseEndMapped", "D", "SI", "TD", "INV"])
     assert "ChrID" in open(os.path.join(d, "gold_INV")).read()
     assert "ChrID" in open(os.path.join(d, "gold_TD")).read()
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_li_scene(tmp_path, oracle, seed):
+    d, _ = run_scene(tmp_path, oracle, seed, extra=["-l"],
+                     kinds=["LI", "DEL", "LI", "SI", "LI"],
+                     chrom_len=60_000, reads_per_event=10)
+    assert_identical(d, ["CloseEndMapped", "D", "SI", "TD", "INV",
+                         "LI", "BP"])
+    assert "\tLI\t" in open(os.path.join(d, "gold_LI")).read()
 
 
 def test_deletion_only_scene_jax_backend(tmp_path, oracle):
