@@ -18,7 +18,10 @@ def main(argv=None) -> int:
         description="TPU-native structural variant discovery "
                     "(pindel-compatible)")
     ap.add_argument("-f", "--fasta", required=True)
-    ap.add_argument("-p", "--pindel-file", required=True)
+    ap.add_argument("-p", "--pindel-file", default=None)
+    ap.add_argument("-i", "--config", default=None,
+                    help="bam config: one '<bam> <insert size> <tag>' "
+                         "per line")
     ap.add_argument("-o", "--output-prefix", required=True)
     ap.add_argument("-c", "--chromosome", default="ALL")
     ap.add_argument("-x", "--max_range_index", type=int, default=2)
@@ -70,7 +73,7 @@ def main(argv=None) -> int:
         region=args.chromosome,
     )
     run_files(args.fasta, args.pindel_file, args.output_prefix,
-              settings=s, backend=args.backend)
+              settings=s, backend=args.backend, bam_config=args.config)
     return 0
 
 

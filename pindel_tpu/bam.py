@@ -1,0 +1,168 @@
+"""BAM split-read channel: native reader bindings + bam-config support.
+
+The heavy lifting (BGZF decode, record parse, mate pairing, weird/anchor/
+ref-read classification, SPLIT_READ building) runs in C++
+(native/bamio.cpp), mirroring the reference's reader.cpp semantics; this
+module wraps the C ABI and converts the packed outputs into SplitRead
+objects plus reference-supporting read tuples.
+
+Reference: bam config file format — one line per BAM: path, insert size,
+sample tag (readBamConfigFile, pindel.cpp:659-692).
+"""
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+from typing import List, Optional, Tuple
+
+from pindel_tpu.reads import SplitRead
+
+
+@dataclasses.dataclass
+class BamConfigEntry:
+    path: str
+    insert_size: int
+    tag: str
+
+
+@dataclasses.dataclass
+class RefRead:
+    """REF_READ (reference pindel.h:250-258)."""
+
+    pos: int
+    mq: int
+    read_length: int
+    tag: str
+
+
+def read_bam_config(path: str) -> List[BamConfigEntry]:
+    """readBamConfigFile (pindel.cpp:659-692)."""
+    entries: List[BamConfigEntry] = []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            entries.append(BamConfigEntry(parts[0], int(parts[1]),
+                                          parts[2]))
+    if not entries:
+        raise ValueError(f"no entries in bam config {path}")
+    return entries
+
+
+def _lib():
+    from pindel_tpu import native
+    lib = native.load("ptbam", ["bamio.cpp"])
+    lib.ptbam_open.restype = ctypes.c_void_p
+    lib.ptbam_open.argtypes = [ctypes.c_char_p]
+    lib.ptbam_error.restype = ctypes.c_char_p
+    lib.ptbam_error.argtypes = [ctypes.c_void_p]
+    lib.ptbam_close.argtypes = [ctypes.c_void_p]
+    lib.ptbam_n_refs.restype = ctypes.c_int32
+    lib.ptbam_n_refs.argtypes = [ctypes.c_void_p]
+    lib.ptbam_ref_name.restype = ctypes.c_char_p
+    lib.ptbam_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.ptbam_ref_len.restype = ctypes.c_int64
+    lib.ptbam_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.ptbam_n_records.restype = ctypes.c_int64
+    lib.ptbam_n_records.argtypes = [ctypes.c_void_p]
+    lib.ptbam_collect_sr.restype = ctypes.c_int64
+    lib.ptbam_collect_sr.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_int64]
+    for fn, restype in [
+            ("ptbam_sr_names", ctypes.POINTER(ctypes.c_char)),
+            ("ptbam_sr_seqs", ctypes.POINTER(ctypes.c_char)),
+            ("ptbam_sr_pos", ctypes.POINTER(ctypes.c_int64)),
+            ("ptbam_sr_ms", ctypes.POINTER(ctypes.c_int32)),
+            ("ptbam_sr_dir", ctypes.POINTER(ctypes.c_int8)),
+            ("ptbam_ref_read_pos", ctypes.POINTER(ctypes.c_int64)),
+            ("ptbam_ref_read_mq", ctypes.POINTER(ctypes.c_int32)),
+            ("ptbam_ref_read_len", ctypes.POINTER(ctypes.c_int32))]:
+        getattr(lib, fn).restype = restype
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    for fn in ("ptbam_sr_names_size", "ptbam_sr_seqs_size",
+               "ptbam_n_ref_reads"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    return lib
+
+
+class BamReader:
+    """One parsed BAM file, window-queryable."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lib = _lib()
+        self._h = self._lib.ptbam_open(path.encode())
+        err = self._lib.ptbam_error(self._h).decode()
+        if err:
+            self._lib.ptbam_close(self._h)
+            self._h = None
+            raise IOError(f"{path}: {err}")
+        self.ref_names = [
+            self._lib.ptbam_ref_name(self._h, i).decode()
+            for i in range(self._lib.ptbam_n_refs(self._h))]
+        self.ref_lens = [self._lib.ptbam_ref_len(self._h, i)
+                         for i in range(len(self.ref_names))]
+        self.n_records = self._lib.ptbam_n_records(self._h)
+
+    def close(self):
+        if self._h is not None:
+            self._lib.ptbam_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def collect_sr(self, chrom_name: str, start: int, end: int,
+                   insert_size: int, tag: str, biol_size: int,
+                   min_anchor_quality: int = 0, nm: int = 2,
+                   max_mismatch_rate: float = 0.02
+                   ) -> Tuple[List[SplitRead], List[RefRead]]:
+        """Split-read + ref-read collection over [start, end).
+
+        Mirrors ReadInBamReads_SR (reader.cpp:483-559) for one window of
+        one BAM; the insert-size sanity abort (reader.cpp:868-877) is
+        raised as ValueError.
+        """
+        if chrom_name not in self.ref_names:
+            return [], []
+        tid = self.ref_names.index(chrom_name)
+        n = self._lib.ptbam_collect_sr(
+            self._h, tid, start, end, min_anchor_quality, nm,
+            max_mismatch_rate, biol_size)
+        reads: List[SplitRead] = []
+        if n:
+            names = ctypes.string_at(
+                self._lib.ptbam_sr_names(self._h),
+                self._lib.ptbam_sr_names_size(self._h)
+            ).decode().split("\0")[:-1]
+            seqs = ctypes.string_at(
+                self._lib.ptbam_sr_seqs(self._h),
+                self._lib.ptbam_sr_seqs_size(self._h)
+            ).decode().split("\0")[:-1]
+            pos = self._lib.ptbam_sr_pos(self._h)
+            ms = self._lib.ptbam_sr_ms(self._h)
+            dr = self._lib.ptbam_sr_dir(self._h)
+            for i in range(n):
+                seq = seqs[i]
+                if insert_size <= len(seq):
+                    raise ValueError(
+                        f"insert size {insert_size} <= read length "
+                        f"{len(seq)} in {self.path}; fix the bam config")
+                r = SplitRead(name=names[i], frag_name=chrom_name,
+                              matched_d=chr(dr[i]),
+                              matched_rel_pos=int(pos[i]), ms=int(ms[i]),
+                              insert_size=insert_size, tag=tag)
+                r.set_seq(seq)
+                reads.append(r)
+        nref = self._lib.ptbam_n_ref_reads(self._h)
+        ref_reads: List[RefRead] = []
+        if nref:
+            rp = self._lib.ptbam_ref_read_pos(self._h)
+            rq = self._lib.ptbam_ref_read_mq(self._h)
+            rl = self._lib.ptbam_ref_read_len(self._h)
+            ref_reads = [RefRead(int(rp[i]), int(rq[i]), int(rl[i]), tag)
+                         for i in range(nref)]
+        return reads, ref_reads

@@ -1,0 +1,449 @@
+// Native BAM ingestion for pindel_tpu (C ABI, loaded via ctypes).
+//
+// Re-implements the reference's split-read BAM channel semantics
+// (reference: reader.cpp — ReadInBamReads_SR :483-559, fetch_func_SR
+// :1099-1151, isWeirdRead :661-690, isGoodAnchor :561-613, isRefRead
+// :620-656, build_record_SR :799-898, build_record_RefRead :903-922,
+// parse_flags_and_tags :1258-1316, bam_cigar2len :1318-1333,
+// bam_cigar2mismatch :1335-1346, HasIndel :706-718) on top of a
+// from-scratch BGZF/BAM parser (no htslib).  The whole file is decoded
+// once into struct-of-arrays in memory; window queries are binary
+// searches.  This is the host data plane of the TPU pipeline: it feeds
+// packed read batches to the JAX search engine.
+//
+// BGZF is a sequence of gzip members, which zlib's gzFile reads
+// transparently; random access via .bai is not needed for the
+// sequential full-file decode.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr uint16_t FLAG_PAIRED = 0x1;
+constexpr uint16_t FLAG_UNMAP = 0x4;
+constexpr uint16_t FLAG_REVERSE = 0x10;
+constexpr uint16_t FLAG_READ1 = 0x40;
+constexpr uint16_t FLAG_READ2 = 0x80;
+constexpr uint16_t FLAG_SECONDARY = 0x100;
+constexpr uint16_t FLAG_QCFAIL = 0x200;
+constexpr uint16_t FLAG_DUP = 0x400;
+
+const char SEQ_NT16[] = "=ACMGRSVTWYHKDBN";
+
+struct Record {
+  int32_t tid;
+  int64_t pos;
+  int64_t endpos;       // half-open reference end (pos+1 when unmapped)
+  uint16_t flag;
+  uint8_t mapq;
+  int32_t l_qseq;
+  int32_t nm;           // NM aux value, -1 when absent
+  int32_t cigar2len;    // reference bam_cigar2len: M,I,S add, D subtracts
+  int32_t cigar_mm;     // reference bam_cigar2mismatch: sum of non-M lens
+  uint8_t weird;        // isWeirdRead precomputed (flag-independent part)
+  uint8_t has_indel;    // reference HasIndel
+  uint32_t name_off, name_len;
+  uint64_t seq_off;     // into seq pool (ASCII bases)
+};
+
+struct BamFile {
+  std::vector<std::string> ref_names;
+  std::vector<int64_t> ref_lens;
+  std::vector<Record> recs;            // file order
+  std::string name_pool;
+  std::string seq_pool;
+  // per-tid: [first_index, last_index) in recs (file is coordinate-sorted,
+  // records grouped by tid) and max reference span for overlap queries
+  std::vector<int64_t> tid_begin, tid_end, tid_max_span;
+  std::string error;
+
+  // ---- collect_sr output pools (SoA) ----
+  std::string sr_names;                // '\0'-separated
+  std::string sr_seqs;                 // '\0'-separated
+  std::vector<int64_t> sr_pos;
+  std::vector<int32_t> sr_ms;
+  std::vector<int8_t> sr_dir;          // '+' or '-'
+  std::vector<int64_t> ref_pos;
+  std::vector<int32_t> ref_mq, ref_len;
+};
+
+bool read_exact(gzFile f, void* buf, unsigned n) {
+  return gzread(f, buf, n) == static_cast<int>(n);
+}
+
+template <typename T>
+bool read_le(gzFile f, T* v) {
+  return read_exact(f, v, sizeof(T));
+}
+
+// Parse aux data for NM; returns -1 when absent.
+int32_t parse_nm(const uint8_t* aux, const uint8_t* end) {
+  while (aux + 3 <= end) {
+    char t0 = aux[0], t1 = aux[1], type = aux[2];
+    const uint8_t* p = aux + 3;
+    int64_t value = 0;
+    unsigned skip = 0;
+    switch (type) {
+      case 'A': case 'c': case 'C': skip = 1; break;
+      case 's': case 'S': skip = 2; break;
+      case 'i': case 'I': case 'f': skip = 4; break;
+      case 'Z': case 'H': {
+        const uint8_t* q = p;
+        while (q < end && *q) q++;
+        skip = (q - p) + 1;
+        break;
+      }
+      case 'B': {
+        if (p + 5 > end) return -1;
+        char sub = p[0];
+        uint32_t n;
+        memcpy(&n, p + 1, 4);
+        unsigned esz = (sub == 'c' || sub == 'C') ? 1
+                       : (sub == 's' || sub == 'S') ? 2 : 4;
+        skip = 5 + esz * n;
+        break;
+      }
+      default:
+        return -1;  // unknown tag type: stop scanning
+    }
+    if (t0 == 'N' && t1 == 'M') {
+      switch (type) {
+        case 'c': value = *reinterpret_cast<const int8_t*>(p); break;
+        case 'C': value = *p; break;
+        case 's': { int16_t x; memcpy(&x, p, 2); value = x; break; }
+        case 'S': { uint16_t x; memcpy(&x, p, 2); value = x; break; }
+        case 'i': { int32_t x; memcpy(&x, p, 4); value = x; break; }
+        case 'I': { uint32_t x; memcpy(&x, p, 4); value = x; break; }
+        default: value = 0;
+      }
+      return static_cast<int32_t>(value);
+    }
+    aux = p + skip;
+  }
+  return -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ptbam_open(const char* path) {
+  auto* bf = new BamFile();
+  gzFile f = gzopen(path, "rb");
+  if (!f) {
+    bf->error = "cannot open file";
+    return bf;
+  }
+  gzbuffer(f, 1 << 20);
+  char magic[4];
+  if (!read_exact(f, magic, 4) || memcmp(magic, "BAM\1", 4) != 0) {
+    bf->error = "not a BAM file";
+    gzclose(f);
+    return bf;
+  }
+  int32_t l_text;
+  read_le(f, &l_text);
+  std::vector<char> text(l_text);
+  if (l_text) read_exact(f, text.data(), l_text);
+  int32_t n_ref;
+  read_le(f, &n_ref);
+  for (int32_t i = 0; i < n_ref; i++) {
+    int32_t l_name, l_ref;
+    read_le(f, &l_name);
+    std::vector<char> nm(l_name);
+    read_exact(f, nm.data(), l_name);
+    read_le(f, &l_ref);
+    bf->ref_names.emplace_back(nm.data());
+    bf->ref_lens.push_back(l_ref);
+  }
+
+  std::vector<uint8_t> buf;
+  int32_t block_size;
+  while (read_le(f, &block_size)) {
+    if (block_size < 32) break;
+    buf.resize(block_size);
+    if (!read_exact(f, buf.data(), block_size)) break;
+    const uint8_t* p = buf.data();
+    Record r{};
+    int32_t refid, pos, l_seq, next_refid, next_pos, tlen;
+    uint32_t bin_mq_nl, flag_nc;
+    memcpy(&refid, p, 4);
+    memcpy(&pos, p + 4, 4);
+    memcpy(&bin_mq_nl, p + 8, 4);
+    memcpy(&flag_nc, p + 12, 4);
+    memcpy(&l_seq, p + 16, 4);
+    memcpy(&next_refid, p + 20, 4);
+    memcpy(&next_pos, p + 24, 4);
+    memcpy(&tlen, p + 28, 4);
+    uint8_t l_read_name = bin_mq_nl & 0xff;
+    r.mapq = (bin_mq_nl >> 8) & 0xff;
+    uint16_t n_cigar = flag_nc & 0xffff;
+    r.flag = flag_nc >> 16;
+    r.tid = refid;
+    r.pos = pos;
+    r.l_qseq = l_seq;
+    const char* qname = reinterpret_cast<const char*>(p + 32);
+    r.name_off = bf->name_pool.size();
+    r.name_len = l_read_name ? l_read_name - 1 : 0;
+    bf->name_pool.append(qname, r.name_len);
+    const uint8_t* cig = p + 32 + l_read_name;
+
+    // cigar-derived values (reference reader.cpp:1318-1346, :661-718)
+    int64_t ref_span = 0;
+    int32_t c2l = 0, cmm = 0;
+    bool nonm_idnshp = false, indel = false;
+    for (uint16_t k = 0; k < n_cigar; k++) {
+      uint32_t cv;
+      memcpy(&cv, cig + 4 * k, 4);
+      uint32_t op = cv & 0xf, len = cv >> 4;
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+        ref_span += len;                         // M D N = X consume ref
+      if (op == 0 || op == 1 || op == 4) c2l += len;   // M I S
+      if (op == 2) c2l -= len;                         // D
+      if (op != 0) cmm += len;                         // non-M lengths
+      if (op == 1 || op == 2 || op == 3 || op == 4 || op == 5 || op == 6)
+        nonm_idnshp = true;                      // I D N S H P
+      if (op == 1 || op == 2) indel = true;
+    }
+    r.cigar2len = c2l;
+    r.cigar_mm = cmm;
+    r.has_indel = (n_cigar > 2 && indel) ? 1 : 0;
+    bool mapped = !(r.flag & FLAG_UNMAP);
+    r.endpos = (mapped && ref_span > 0) ? r.pos + ref_span : r.pos + 1;
+
+    const uint8_t* seq4 = cig + 4 * n_cigar;
+    r.seq_off = bf->seq_pool.size();
+    for (int32_t i = 0; i < l_seq; i++) {
+      uint8_t code = (seq4[i / 2] >> ((i % 2) ? 0 : 4)) & 0xf;
+      bf->seq_pool.push_back(SEQ_NT16[code]);
+    }
+    const uint8_t* aux = seq4 + (l_seq + 1) / 2 + l_seq;
+    r.nm = parse_nm(aux, p + block_size);
+
+    // isWeirdRead (reader.cpp:661-690): unmapped, or any I/D/N/S/H/P op,
+    // or NM != 0, or edits + non-M cigar length > 0
+    int32_t edits = r.nm >= 0 ? r.nm : 0;
+    r.weird = (!mapped || nonm_idnshp || (r.nm > 0)
+               || (edits + cmm > 0)) ? 1 : 0;
+
+    bf->recs.push_back(r);
+  }
+  gzclose(f);
+
+  // group index per tid (file order; coordinate-sorted input)
+  size_t nt = bf->ref_names.size();
+  bf->tid_begin.assign(nt, -1);
+  bf->tid_end.assign(nt, -1);
+  bf->tid_max_span.assign(nt, 1);
+  for (size_t i = 0; i < bf->recs.size(); i++) {
+    int32_t t = bf->recs[i].tid;
+    if (t < 0 || static_cast<size_t>(t) >= nt) continue;
+    if (bf->tid_begin[t] < 0) bf->tid_begin[t] = i;
+    bf->tid_end[t] = i + 1;
+    int64_t span = bf->recs[i].endpos - bf->recs[i].pos;
+    if (span > bf->tid_max_span[t]) bf->tid_max_span[t] = span;
+  }
+  return bf;
+}
+
+const char* ptbam_error(void* h) {
+  return static_cast<BamFile*>(h)->error.c_str();
+}
+
+void ptbam_close(void* h) { delete static_cast<BamFile*>(h); }
+
+int32_t ptbam_n_refs(void* h) {
+  return static_cast<BamFile*>(h)->ref_names.size();
+}
+
+const char* ptbam_ref_name(void* h, int32_t tid) {
+  return static_cast<BamFile*>(h)->ref_names[tid].c_str();
+}
+
+int64_t ptbam_ref_len(void* h, int32_t tid) {
+  return static_cast<BamFile*>(h)->ref_lens[tid];
+}
+
+int64_t ptbam_n_records(void* h) {
+  return static_cast<BamFile*>(h)->recs.size();
+}
+
+namespace {
+
+// isGoodAnchor (reader.cpp:561-613)
+bool good_anchor(const Record& r, int min_qual) {
+  if (r.flag & FLAG_UNMAP) return false;
+  if (r.mapq < min_qual) return false;
+  if (min_qual == 0) return true;
+  if (r.flag & (FLAG_SECONDARY | FLAG_QCFAIL | FLAG_DUP)) return false;
+  return true;
+}
+
+// isRefRead (reader.cpp:620-656)
+bool ref_read(const Record& r, int nm_cutoff, double mm_rate) {
+  if (r.flag & (FLAG_SECONDARY | FLAG_QCFAIL | FLAG_DUP)) return false;
+  if (r.nm >= 0) {
+    int max_edits = static_cast<int>(r.l_qseq * mm_rate) + 1;
+    if (r.nm > nm_cutoff || r.nm > max_edits) return false;
+  }
+  if (r.has_indel) return false;
+  int32_t edits = r.nm >= 0 ? r.nm : 0;
+  bool mapped = !(r.flag & FLAG_UNMAP);
+  return mapped && edits <= 2 && r.cigar_mm <= 2;
+}
+
+// build_record_SR (reader.cpp:799-898); emits into the output pools.
+void build_sr(BamFile* bf, const Record& mapped, const Record& unmapped,
+              int min_qual, int64_t biol_size) {
+  if (static_cast<int16_t>(mapped.mapq) < static_cast<int16_t>(min_qual))
+    return;
+  std::string seq(bf->seq_pool, unmapped.seq_off, unmapped.l_qseq);
+  // N-trim both ends, then the 10% N / 22 bp gates
+  size_t b = 0, e = seq.size();
+  while (b < e && seq[b] == 'N') b++;
+  while (e > b && seq[e - 1] == 'N') e--;
+  seq = seq.substr(b, e - b);
+  int64_t length = seq.size();
+  int64_t n_count = 0;
+  for (char c : seq)
+    if (c == 'N') n_count++;
+  if (n_count > static_cast<int64_t>(length * .10) || length < 22) return;
+  if (unmapped.flag & FLAG_REVERSE) {
+    std::string rc(length, 'N');
+    for (int64_t i = 0; i < length; i++) {
+      char c = seq[length - 1 - i];
+      rc[i] = c == 'A' ? 'T' : c == 'T' ? 'A' : c == 'C' ? 'G'
+              : c == 'G' ? 'C' : 'N';
+    }
+    seq.swap(rc);
+  }
+  int64_t rel_pos = mapped.pos;
+  int8_t dir = '+';
+  if (mapped.flag & FLAG_REVERSE) {
+    dir = '-';
+    rel_pos += mapped.cigar2len;
+  }
+  if (rel_pos > biol_size) rel_pos = biol_size;
+  if (rel_pos < 1) rel_pos = 0;
+
+  bf->sr_names.push_back('@');
+  bf->sr_names.append(bf->name_pool, unmapped.name_off, unmapped.name_len);
+  if (unmapped.flag & FLAG_READ1) bf->sr_names.append("/1");
+  else if (unmapped.flag & FLAG_READ2) bf->sr_names.append("/2");
+  bf->sr_names.push_back('\0');
+  bf->sr_seqs.append(seq);
+  bf->sr_seqs.push_back('\0');
+  bf->sr_pos.push_back(rel_pos);
+  bf->sr_ms.push_back(mapped.mapq);
+  bf->sr_dir.push_back(dir);
+}
+
+}  // namespace
+
+// Window query + mate pairing + record building for the split-read
+// channel.  Mirrors fetch_func_SR (reader.cpp:1099-1151): first sight of
+// a name stores the record and self-builds if weird; the second sight
+// pairs them (self-build of the stored read again — a reference quirk —
+// then anchored builds and reference-supporting reads both ways).
+int64_t ptbam_collect_sr(void* h, int32_t tid, int64_t start, int64_t end,
+                         int32_t min_qual, int32_t nm_cutoff,
+                         double mm_rate, int64_t biol_size) {
+  auto* bf = static_cast<BamFile*>(h);
+  bf->sr_names.clear();
+  bf->sr_seqs.clear();
+  bf->sr_pos.clear();
+  bf->sr_ms.clear();
+  bf->sr_dir.clear();
+  bf->ref_pos.clear();
+  bf->ref_mq.clear();
+  bf->ref_len.clear();
+  if (tid < 0 || static_cast<size_t>(tid) >= bf->ref_names.size()
+      || bf->tid_begin[tid] < 0)
+    return 0;
+
+  // binary search: first record with pos >= start - max_span
+  int64_t lo = bf->tid_begin[tid], hi = bf->tid_end[tid];
+  int64_t target = start - bf->tid_max_span[tid];
+  while (lo < hi) {
+    int64_t mid = (lo + hi) / 2;
+    if (bf->recs[mid].pos < target) lo = mid + 1;
+    else hi = mid;
+  }
+
+  std::unordered_map<std::string, int64_t> pending;  // qname -> rec index
+  for (int64_t i = lo; i < bf->tid_end[tid]; i++) {
+    const Record& r = bf->recs[i];
+    if (r.pos >= end) break;
+    if (r.endpos <= start) continue;              // no overlap
+    std::string qname(bf->name_pool, r.name_off, r.name_len);
+    auto it = pending.find(qname);
+    if (it == pending.end()) {
+      pending.emplace(std::move(qname), i);
+      if (r.weird) build_sr(bf, r, r, min_qual, biol_size);
+    } else {
+      const Record& b2 = bf->recs[it->second];
+      pending.erase(it);
+      if (b2.weird) build_sr(bf, b2, b2, min_qual, biol_size);
+      if (good_anchor(r, min_qual)) {
+        if (b2.weird) build_sr(bf, r, b2, min_qual, biol_size);
+        if (ref_read(b2, nm_cutoff, mm_rate) && b2.mapq >= min_qual) {
+          bf->ref_pos.push_back(b2.pos);
+          bf->ref_mq.push_back(b2.mapq);
+          bf->ref_len.push_back(b2.l_qseq);
+        }
+      }
+      if (good_anchor(b2, min_qual)) {
+        if (r.weird) build_sr(bf, b2, r, min_qual, biol_size);
+        if (ref_read(r, nm_cutoff, mm_rate) && r.mapq >= min_qual) {
+          bf->ref_pos.push_back(r.pos);
+          bf->ref_mq.push_back(r.mapq);
+          bf->ref_len.push_back(r.l_qseq);
+        }
+      }
+    }
+  }
+  return bf->sr_pos.size();
+}
+
+const char* ptbam_sr_names(void* h) {
+  return static_cast<BamFile*>(h)->sr_names.c_str();
+}
+int64_t ptbam_sr_names_size(void* h) {
+  return static_cast<BamFile*>(h)->sr_names.size();
+}
+const char* ptbam_sr_seqs(void* h) {
+  return static_cast<BamFile*>(h)->sr_seqs.c_str();
+}
+int64_t ptbam_sr_seqs_size(void* h) {
+  return static_cast<BamFile*>(h)->sr_seqs.size();
+}
+const int64_t* ptbam_sr_pos(void* h) {
+  return static_cast<BamFile*>(h)->sr_pos.data();
+}
+const int32_t* ptbam_sr_ms(void* h) {
+  return static_cast<BamFile*>(h)->sr_ms.data();
+}
+const int8_t* ptbam_sr_dir(void* h) {
+  return static_cast<BamFile*>(h)->sr_dir.data();
+}
+int64_t ptbam_n_ref_reads(void* h) {
+  return static_cast<BamFile*>(h)->ref_pos.size();
+}
+const int64_t* ptbam_ref_read_pos(void* h) {
+  return static_cast<BamFile*>(h)->ref_pos.data();
+}
+const int32_t* ptbam_ref_read_mq(void* h) {
+  return static_cast<BamFile*>(h)->ref_mq.data();
+}
+const int32_t* ptbam_ref_read_len(void* h) {
+  return static_cast<BamFile*>(h)->ref_len.data();
+}
+
+}  // extern "C"

@@ -108,11 +108,27 @@ class Pipeline:
         self.backend_factory = backend_factory  # chrom -> backend
         self.g_max_pos = 0
         self.input_reads: List[SplitRead] = []
+        self.bam_entries: List = []              # BAM mode (-i)
+        self._bam_readers: Dict[str, object] = {}
         self._outputs: Dict[str, TextIO] = {}
+
+    @property
+    def bam_input(self) -> bool:
+        return bool(self.bam_entries)
 
     # ------------------------------------------------------------------ io
     def load_pindel_input(self, path: str) -> None:
         self.input_reads = list(read_pindel_file(path))
+
+    def load_bam_config(self, path: str) -> None:
+        """-i: bam config; sample tags enter g_sampleNames at init
+        (reference readBamConfigFile, pindel.cpp:659-692)."""
+        from pindel_tpu.bam import BamReader, read_bam_config
+        self.bam_entries = read_bam_config(path)
+        for entry in self.bam_entries:
+            self.state.sample_names.add(entry.tag)
+            if entry.path not in self._bam_readers:
+                self._bam_readers[entry.path] = BamReader(entry.path)
 
     def create_output_files(self) -> None:
         """TestFileForOutput truncation at init (pindel.cpp:932-938) plus
@@ -150,8 +166,49 @@ class Pipeline:
                     r.matched_rel_pos = chrom.biol_size
                 if r.matched_rel_pos < 0:
                     r.matched_rel_pos = 0
+                # g_sampleNames.insert for every in-window read
+                # (reader.cpp:290,335 — before close-end filtering)
+                self.state.sample_names.add(r.tag)
                 taken.append(r)
         return taken
+
+    def _window_reads_bam(self, chrom: Chromosome,
+                          window: LoopingSearchWindow):
+        """get_SR_Reads BAM branch (reader.cpp:1428-1467): per config
+        entry, collect split reads + reference-supporting reads over the
+        window, in file order."""
+        s = self.settings
+        reads: List[SplitRead] = []
+        ref_reads: List = []
+        for entry in self.bam_entries:
+            reader = self._bam_readers[entry.path]
+            rs, rr = reader.collect_sr(
+                chrom.name, window.current_start, window.current_end,
+                entry.insert_size, entry.tag, chrom.biol_size,
+                min_anchor_quality=s.min_anchor_quality, nm=s.nm,
+                max_mismatch_rate=s.max_allowed_mismatch_rate)
+            reads.extend(rs)
+            ref_reads.extend(rr)
+        return reads, ref_reads
+
+    def _update_ref_coverage(self, ref_reads: List,
+                             window: LoopingSearchWindow) -> None:
+        """UpdateRefReadCoverage (pindel.cpp:1272-1330): per-sample
+        per-position counts over the current window; read interior
+        positions 1..len-2 only."""
+        import numpy as np
+        samples = self.state.sorted_samples()
+        idx = {name: i for i, name in enumerate(samples)}
+        start = window.current_start
+        end = window.current_end
+        cov = np.zeros((end - start + 1, len(samples)), dtype=np.int32)
+        for rr in ref_reads:
+            if rr.pos < start or rr.pos + rr.read_length > end:
+                continue
+            sid = idx[rr.tag]
+            base = rr.pos - start
+            cov[base + 1: base + rr.read_length - 1, sid] += 1
+        self.state.ref_coverage = cov
 
     # ----------------------------------------------------------------- run
     def run(self, regions: Optional[List[BedRegion]] = None) -> None:
@@ -177,7 +234,12 @@ class Pipeline:
             while True:
                 self.state.region_start = window.current_start
                 self.state.region_end = window.current_end
-                reads = self._window_reads(chrom, window)
+                if self.bam_input:
+                    reads, ref_reads = self._window_reads_bam(chrom, window)
+                else:
+                    reads = self._window_reads(chrom, window)
+                    ref_reads = []
+                self._update_ref_coverage(ref_reads, window)
                 for r in reads:
                     # g_maxInsertSize update in GetCloseEndInner
                     # (pindel.cpp:2257) — for every read searched
@@ -207,7 +269,7 @@ class Pipeline:
                         self._search_svs(kept, chr_seq, window,
                                          box_size, num_boxes, bed)
                 window.next()
-                if window.finished(True, self.g_max_pos):
+                if window.finished(not self.bam_input, self.g_max_pos):
                     break
 
     def _search_svs(self, reads: List[SplitRead], chr_seq: str,
@@ -276,13 +338,15 @@ class Pipeline:
         self._out("LI")
 
 
-def run_files(reference_fa: str, pindel_file: str, output_prefix: str,
-              settings: Optional[Settings] = None,
-              backend: str = "numpy") -> Settings:
-    """Convenience entry: -f/-p/-o equivalent."""
+def run_files(reference_fa: str, pindel_file: Optional[str],
+              output_prefix: str, settings: Optional[Settings] = None,
+              backend: str = "numpy",
+              bam_config: Optional[str] = None) -> Settings:
+    """Convenience entry: -f/-p|-i/-o equivalent."""
     s = settings or Settings()
     s.reference_filename = reference_fa
-    s.pindel_filename = pindel_file
+    s.pindel_filename = pindel_file or ""
+    s.bam_config_filename = bam_config or ""
     s.output_prefix = output_prefix
     genome = Genome.from_fasta(reference_fa)
     factory = None
@@ -293,7 +357,12 @@ def run_files(reference_fa: str, pindel_file: str, output_prefix: str,
             return JaxBackend(s, s.max_mismatch(), chrom.seq)
     pipe = Pipeline(s, genome, backend_factory=factory)
     pipe.create_output_files()
-    pipe.load_pindel_input(pindel_file)
+    if bam_config:
+        pipe.load_bam_config(bam_config)
+    elif pindel_file:
+        pipe.load_pindel_input(pindel_file)
+    else:
+        raise ValueError("need a pindel file (-p) or bam config (-i)")
     try:
         pipe.run()
     finally:

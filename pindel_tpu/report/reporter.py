@@ -142,9 +142,10 @@ class ReporterState:
         self.mask: Optional[bytearray] = None   # CurrentChrMask
         self.region_start = 0           # g_RegionStart
         self.region_end = 0             # g_RegionEnd
-        # g_RefCoverageRegion: per-position per-sample counts; pindel-format
-        # input has no reference-supporting reads so all counts are zero
-        self.ref_coverage: Optional[Dict[str, List[int]]] = None
+        # g_RefCoverageRegion: [window_len+1, n_samples] per-position
+        # per-sample counts; pindel-format input has no reference-
+        # supporting reads so all counts are zero
+        self.ref_coverage = None    # numpy int32 array in BAM mode
 
     @property
     def sv_index(self) -> int:
@@ -154,7 +155,13 @@ class ReporterState:
         return sorted(self.sample_names)
 
     def coverage_at(self, pos: int, sample_idx: int) -> int:
-        # zero-filled unless BAM mode populates ref_coverage
+        """g_RefCoverageRegion[pos - g_RegionStart] lookup
+        (reporter.cpp:216,359,368,...); zero-filled for pindel input."""
+        if self.ref_coverage is None:
+            return 0
+        i = pos - self.region_start
+        if 0 <= i < len(self.ref_coverage):
+            return int(self.ref_coverage[i][sample_idx])
         return 0
 
     def mask_set(self, padded_pos: int) -> None:
