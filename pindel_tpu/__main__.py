@@ -24,6 +24,10 @@ def main(argv=None) -> int:
                          "per line")
     ap.add_argument("-o", "--output-prefix", required=True)
     ap.add_argument("-c", "--chromosome", default="ALL")
+    ap.add_argument("-j", "--include", default="",
+                    help="BED file of regions to include")
+    ap.add_argument("-J", "--exclude", default="",
+                    help="BED file of regions to exclude")
     ap.add_argument("-x", "--max_range_index", type=int, default=2)
     ap.add_argument("-w", "--window_size", type=float, default=5.0)
     ap.add_argument("-e", "--sequencing_error_rate", type=float, default=0.01)
@@ -71,6 +75,8 @@ def main(argv=None) -> int:
         analyze_td=args.report_duplications,
         min_inversion_size=args.min_inversion_size,
         region=args.chromosome,
+        include_bed=args.include,
+        exclude_bed=args.exclude,
     )
     run_files(args.fasta, args.pindel_file, args.output_prefix,
               settings=s, backend=args.backend, bam_config=args.config)

@@ -211,17 +211,30 @@ class Pipeline:
         self.state.ref_coverage = cov
 
     # ----------------------------------------------------------------- run
+    def build_regions(self) -> List[BedRegion]:
+        """-c / -j / -J region selection (pindel.cpp:1601-1716)."""
+        import os
+
+        from pindel_tpu.regions import Fai, SearchRegion, build_include_bed
+        s = self.settings
+        fai_path = s.reference_filename + ".fai"
+        fai = (Fai.read(fai_path) if os.path.exists(fai_path)
+               else Fai.from_genome(self.genome))
+        region = SearchRegion.parse(s.region or "ALL", fai)
+        beds = build_include_bed(region, fai, s.include_bed, s.exclude_bed)
+        return [BedRegion(name, start, end) for name, start, end in beds]
+
     def run(self, regions: Optional[List[BedRegion]] = None) -> None:
         s = self.settings
         if regions is None:
-            regions = [BedRegion(c.name, 1, c.biol_size)
-                       for c in self.genome]
+            regions = self.build_regions()
         for bed in regions:
             chrom = self.genome.get(bed.chr_name)
             if chrom is None:
                 raise ValueError(f"no chromosome {bed.chr_name}")
             chr_seq = chrom.seq_str(0, chrom.comp_size)
             self.state.mask = bytearray(b"N" * chrom.comp_size)
+            self.g_max_pos = 0          # reset per bed region (:1799)
             box_size = max(chrom.comp_size // 30000, 1)
             num_boxes = chrom.comp_size * 2 // box_size + 1
             backend = (self.backend_factory(chrom)
