@@ -52,6 +52,15 @@ def main(argv=None) -> int:
     ap.add_argument("-t", "--report_duplications", action="store_true",
                     default=True)
     ap.add_argument("-v", "--min_inversion_size", type=int, default=50)
+    ap.add_argument("-b", "--breakdancer", default="",
+                    help="BreakDancer calls file to guide far-end search")
+    ap.add_argument("-Q", "--output_of_breakdancer_events", default="",
+                    help="file for SVs confirmed by BreakDancer calls")
+    ap.add_argument("-R", "--RP", dest="search_discordant", default=True,
+                    action="store_true",
+                    help="search for discordant read pairs (BAM input)")
+    ap.add_argument("-I", "--report_interchromosomal_events",
+                    action="store_true")
     ap.add_argument("--backend", choices=["numpy", "jax"], default="jax")
     args = ap.parse_args(argv)
 
@@ -77,6 +86,10 @@ def main(argv=None) -> int:
         region=args.chromosome,
         include_bed=args.include,
         exclude_bed=args.exclude,
+        breakdancer_filename=args.breakdancer,
+        breakdancer_output_filename=args.output_of_breakdancer_events,
+        search_discordant_read_pair=args.search_discordant,
+        report_interchromosomal_events=args.report_interchromosomal_events,
     )
     run_files(args.fasta, args.pindel_file, args.output_prefix,
               settings=s, backend=args.backend, bam_config=args.config)

@@ -85,6 +85,10 @@ def _lib():
                "ptbam_n_ref_reads"):
         getattr(lib, fn).restype = ctypes.c_int64
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.ptbam_collect_rp.restype = ctypes.c_int64
+    lib.ptbam_collect_rp.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int64]
     return lib
 
 
@@ -166,3 +170,52 @@ class BamReader:
             ref_reads = [RefRead(int(rp[i]), int(rq[i]), int(rl[i]), tag)
                          for i in range(nref)]
         return reads, ref_reads
+
+    def collect_rp(self, chrom_name: str, start: int, end: int,
+                   insert_size: int, tag: str,
+                   min_anchor_quality: int = 0):
+        """Discordant read-pair discovery over [start, end).
+
+        Mirrors build_record_RP_Discovery (reader.cpp:982-1097) including
+        the same-chromosome PosA<PosB swap normalization; returns
+        (same-chromosome RPReads, interchromosomal RPReads).
+        """
+        from pindel_tpu.bddata import RPRead
+        if chrom_name not in self.ref_names:
+            return [], []
+        tid = self.ref_names.index(chrom_name)
+        n = self._lib.ptbam_collect_rp(self._h, tid, start, end,
+                                       min_anchor_quality, insert_size)
+        same: list = []
+        inter: list = []
+        if not n:
+            return same, inter
+        # pools reused by the native side: pos / mpos / mtid / mapq / len
+        pos = self._lib.ptbam_ref_read_pos(self._h)
+        mpos = self._lib.ptbam_sr_pos(self._h)
+        mtid = self._lib.ptbam_sr_ms(self._h)
+        lens = self._lib.ptbam_ref_read_len(self._h)
+        strands = self._lib.ptbam_sr_dir(self._h)
+        for i in range(n):
+            da = "-" if strands[i] & 1 else "+"
+            db = "-" if strands[i] & 2 else "+"
+            pa, pb = int(pos[i]), int(mpos[i])
+            chr_b = self.ref_names[mtid[i]] \
+                if 0 <= mtid[i] < len(self.ref_names) else ""
+            r = RPRead(chr_name_a=chrom_name, chr_name_b=chr_b,
+                       da=da, db=db, pos_a=pa, pos_b=pb,
+                       original_pos_a=pa, original_pos_b=pb,
+                       insert_size=insert_size, read_length=int(lens[i]),
+                       tag=tag, tags=[tag])
+            if chr_b == chrom_name:
+                if pa < pb:
+                    same.append(r)
+                else:
+                    import dataclasses as _dc
+                    same.append(_dc.replace(
+                        r, da=db, db=da, pos_a=pb, pos_b=pa,
+                        original_pos_a=pb, original_pos_b=pa,
+                        chr_name_a=chr_b, chr_name_b=chrom_name))
+            else:
+                inter.append(r)
+        return same, inter

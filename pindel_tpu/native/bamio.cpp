@@ -28,7 +28,9 @@ namespace {
 
 constexpr uint16_t FLAG_PAIRED = 0x1;
 constexpr uint16_t FLAG_UNMAP = 0x4;
+constexpr uint16_t FLAG_MUNMAP = 0x8;
 constexpr uint16_t FLAG_REVERSE = 0x10;
+constexpr uint16_t FLAG_MREVERSE = 0x20;
 constexpr uint16_t FLAG_READ1 = 0x40;
 constexpr uint16_t FLAG_READ2 = 0x80;
 constexpr uint16_t FLAG_SECONDARY = 0x100;
@@ -51,6 +53,9 @@ struct Record {
   uint8_t has_indel;    // reference HasIndel
   uint32_t name_off, name_len;
   uint64_t seq_off;     // into seq pool (ASCII bases)
+  int32_t mtid;
+  int64_t mpos;
+  int64_t isize;
 };
 
 struct BamFile {
@@ -189,6 +194,9 @@ void* ptbam_open(const char* path) {
     r.tid = refid;
     r.pos = pos;
     r.l_qseq = l_seq;
+    r.mtid = next_refid;
+    r.mpos = next_pos;
+    r.isize = tlen;
     const char* qname = reinterpret_cast<const char*>(p + 32);
     r.name_off = bf->name_pool.size();
     r.name_len = l_read_name ? l_read_name - 1 : 0;
@@ -410,6 +418,58 @@ int64_t ptbam_collect_sr(void* h, int32_t tid, int64_t start, int64_t end,
     }
   }
   return bf->sr_pos.size();
+}
+
+// Discordant read-pair discovery channel over a window.  Mirrors
+// build_record_RP_Discovery (reader.cpp:982-1097): paired, quality gate,
+// both mates mapped, and discordant = different chromosome OR
+// |isize| > 3*insert+1000 OR same-strand mates.  Emits raw per-record
+// fields; the same-chromosome PosA<PosB normalization and RP_READ
+// construction happen in Python.
+int64_t ptbam_collect_rp(void* h, int32_t tid, int64_t start, int64_t end,
+                         int32_t min_qual, int64_t insert_size) {
+  auto* bf = static_cast<BamFile*>(h);
+  bf->ref_pos.clear();      // reuse pools: pos
+  bf->sr_pos.clear();       // mpos
+  bf->sr_ms.clear();        // mtid
+  bf->ref_mq.clear();       // mapq
+  bf->ref_len.clear();      // l_qseq
+  bf->sr_dir.clear();       // packed strands: bit0 = read reverse,
+                            //                 bit1 = mate reverse
+  bf->sr_names.clear();
+  if (tid < 0 || static_cast<size_t>(tid) >= bf->ref_names.size()
+      || bf->tid_begin[tid] < 0)
+    return 0;
+  int64_t lo = bf->tid_begin[tid], hi = bf->tid_end[tid];
+  int64_t target = start - bf->tid_max_span[tid];
+  while (lo < hi) {
+    int64_t mid = (lo + hi) / 2;
+    if (bf->recs[mid].pos < target) lo = mid + 1;
+    else hi = mid;
+  }
+  for (int64_t i = lo; i < bf->tid_end[tid]; i++) {
+    const Record& r = bf->recs[i];
+    if (r.pos >= end) break;
+    if (r.endpos <= start) continue;
+    if (!(r.flag & FLAG_PAIRED)) continue;
+    if (r.mapq < min_qual) continue;
+    if (r.flag & (FLAG_UNMAP | FLAG_MUNMAP)) continue;
+    int64_t isize = r.isize < 0 ? -r.isize : r.isize;
+    bool same_strand = ((r.flag & FLAG_REVERSE) != 0)
+                       == ((r.flag & FLAG_MREVERSE) != 0);
+    if (r.tid != r.mtid || isize > 3 * insert_size + 1000 || same_strand) {
+      bf->ref_pos.push_back(r.pos);
+      bf->sr_pos.push_back(r.mpos);
+      bf->sr_ms.push_back(r.mtid);
+      bf->ref_mq.push_back(r.mapq);
+      bf->ref_len.push_back(r.l_qseq);
+      bf->sr_dir.push_back(((r.flag & FLAG_REVERSE) ? 1 : 0)
+                           | ((r.flag & FLAG_MREVERSE) ? 2 : 0));
+      bf->sr_names.append(bf->name_pool, r.name_off, r.name_len);
+      bf->sr_names.push_back('\0');
+    }
+  }
+  return bf->ref_pos.size();
 }
 
 const char* ptbam_sr_names(void* h) {

@@ -232,12 +232,14 @@ class JaxBackend:
     MAX_CHUNK = 8192
 
     def __init__(self, settings, maxmm: np.ndarray, chrom_codes: np.ndarray,
-                 w_buckets: Sequence[int] = (512, 2048, 8192, 32768)):
+                 w_buckets: Sequence[int] = (512, 2048, 8192, 32768),
+                 chrom_name: str = None):
         self.mpm = settings.min_perfect_match_around_bp
         self.rate = settings.max_allowed_mismatch_rate
         self.maxmm_dev = jnp.asarray(maxmm, dtype=jnp.int32)
         self.chrom_dev = jax.device_put(jnp.asarray(chrom_codes))
-        self.w_buckets = tuple(sorted(w_buckets))
+        self.chrom_name = chrom_name   # lanes on other chromosomes fall
+        self.w_buckets = tuple(sorted(w_buckets))   # back to NumPy
         enable_compile_cache()
 
     def _bucket(self, width: int) -> int:

@@ -101,6 +101,7 @@ class LoopingSearchWindow:
 class Pipeline:
     def __init__(self, settings: Settings, genome: Genome,
                  backend_factory=None):
+        from pindel_tpu.bddata import BDData
         self.settings = settings
         self.genome = genome
         self.state = ReporterState(settings)
@@ -111,6 +112,10 @@ class Pipeline:
         self.bam_entries: List = []              # BAM mode (-i)
         self._bam_readers: Dict[str, object] = {}
         self._outputs: Dict[str, TextIO] = {}
+        self.bd = BDData(genome)                 # g_bdData
+        self.state.bd = self.bd
+        if settings.breakdancer_filename:        # -b (pindel.cpp:872-875)
+            self.bd.load_bd_file(settings.breakdancer_filename)
 
     @property
     def bam_input(self) -> bool:
@@ -191,6 +196,23 @@ class Pipeline:
             ref_reads.extend(rr)
         return reads, ref_reads
 
+    def _window_rp_discovery(self, chrom: Chromosome,
+                             window: LoopingSearchWindow):
+        """get_RP_Reads_Discovery (reader.cpp:1348-1410): discordant
+        pairs per bam config entry over the window."""
+        s = self.settings
+        same: List = []
+        inter: List = []
+        for entry in self.bam_entries:
+            reader = self._bam_readers[entry.path]
+            rs, ri = reader.collect_rp(
+                chrom.name, window.current_start, window.current_end,
+                entry.insert_size, entry.tag,
+                min_anchor_quality=s.min_anchor_quality)
+            same.extend(rs)
+            inter.extend(ri)
+        return same, inter
+
     def _update_ref_coverage(self, ref_reads: List,
                              window: LoopingSearchWindow) -> None:
         """UpdateRefReadCoverage (pindel.cpp:1272-1330): per-sample
@@ -247,6 +269,15 @@ class Pipeline:
             while True:
                 self.state.region_start = window.current_start
                 self.state.region_end = window.current_end
+                # RP discovery + BD-like event conversion
+                # (pindel.cpp:1837-1847), then window rasterization
+                if self.bam_input and s.search_discordant_read_pair:
+                    rp, rp_inter = self._window_rp_discovery(chrom, window)
+                    self.bd.update_bd(rp, rp_inter, self._out("RP"),
+                                      s.report_interchromosomal_events)
+                self.bd.load_region(chrom.name,
+                                    window.current_start + SPACER,
+                                    window.current_end + SPACER)
                 if self.bam_input:
                     reads, ref_reads = self._window_reads_bam(chrom, window)
                 else:
@@ -274,7 +305,21 @@ class Pipeline:
                                       f"\t{r.ms}\t{r.insert_size}"
                                       f"\t{r.tag}\n")
                     if not s.report_only_close_mapped_reads:
-                        self.searcher.search_far_ends(chrom, kept)
+                        def bd_regions(read):
+                            regs = []
+                            for chr_name, w_start, w_end in \
+                                    self.bd.cluster_for(
+                                        read.last_abs_loc_close_end()):
+                                c = self.genome.get(chr_name)
+                                if c is None:
+                                    raise ValueError(
+                                        f"BD window chromosome {chr_name} "
+                                        "not in reference")
+                                regs.append((c, w_start, w_end))
+                            return regs
+
+                        self.searcher.search_far_ends(chrom, kept,
+                                                      bd_regions=bd_regions)
                         for r in kept:
                             if r.up_far:
                                 r.far_frag_name = r.up_far[0].chr_name
@@ -367,7 +412,8 @@ def run_files(reference_fa: str, pindel_file: Optional[str],
         from pindel_tpu.ops.engine_jax import JaxBackend
 
         def factory(chrom):
-            return JaxBackend(s, s.max_mismatch(), chrom.seq)
+            return JaxBackend(s, s.max_mismatch(), chrom.seq,
+                              chrom_name=chrom.name)
     pipe = Pipeline(s, genome, backend_factory=factory)
     pipe.create_output_files()
     if bam_config:

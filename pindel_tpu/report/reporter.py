@@ -142,6 +142,7 @@ class ReporterState:
         self.mask: Optional[bytearray] = None   # CurrentChrMask
         self.region_start = 0           # g_RegionStart
         self.region_end = 0             # g_RegionEnd
+        self.bd = None                  # BDData when -b is set
         # g_RefCoverageRegion: [window_len+1, n_samples] per-position
         # per-sample counts; pindel-format input has no reference-
         # supporting reads so all counts are zero
@@ -225,6 +226,21 @@ def _sum_ms(reads, c_s, c_e):
     return sum(reads[i].ms for i in range(c_s, c_e + 1))
 
 
+def report_breakdancer_event(state: ReporterState, chrom: str, left: int,
+                             right: int, size: int, sv_type: str,
+                             counter: int) -> None:
+    """reportBreakDancerEvent (pindel.cpp:534-541): with -Q and -b set,
+    events confirmed by a BreakDancer call are appended to the -Q file
+    (which the reference never truncates)."""
+    s = state.settings
+    if not (s.breakdancer_output_filename and s.breakdancer_filename):
+        return
+    if state.bd is not None and state.bd.is_breakdancer_event(left, right):
+        with open(s.breakdancer_output_filename, "a") as fh:
+            fh.write(f"{chrom}\t{left}\t{right}\t{size}\t{sv_type}"
+                     f"\t{counter}\n")
+
+
 # ------------------------------------------------------------------- writers
 
 def output_deletions(reads: List[SplitRead], chr_seq: str, c_s: int, c_e: int,
@@ -243,6 +259,9 @@ def output_deletions(reads: List[SplitRead], chr_seq: str, c_s: int, c_e: int,
     state.mask_set(first.bp_right + SPACER)
     state.mask_set(real_start + SPACER)
     state.mask_set(real_end + SPACER)
+    report_breakdancer_event(state, first.frag_name, first.bp_left + 1,
+                             first.bp_right + 1, first.indel_size, "D",
+                             state.sv_index)
 
     out.write(HASHLINE + "\n")
     out.write(f"{state.sv_index}\tD {first.indel_size}"
@@ -301,6 +320,9 @@ def output_sis(reads: List[SplitRead], chr_seq: str, c_s: int, c_e: int,
     state.mask_set(first.bp_right + SPACER)
     state.mask_set(real_start + SPACER)
     state.mask_set(real_end + SPACER)
+    report_breakdancer_event(state, first.frag_name, first.bp_left + 1,
+                             first.bp_right + 1, first.indel_size, "SI",
+                             state.num_si)
 
     # consensus NT string: majority vote over read NT strings
     counts: Dict[str, int] = {}
@@ -357,6 +379,9 @@ def output_di(reads: List[SplitRead], chr_seq: str, c_s: int, c_e: int,
     easy_score = (left_s + 1) * (right_s + 1)
     state.mask_set(first.bp_left + SPACER)
     state.mask_set(first.bp_right + SPACER)
+    report_breakdancer_event(state, first.frag_name, first.bp_left + 1,
+                             first.bp_right + 1, first.indel_size, "D",
+                             state.sv_index)
 
     out.write(HASHLINE + "\n")
     out.write(f"{state.sv_index}\tD {first.indel_size}"
@@ -401,6 +426,9 @@ def output_short_inversion(reads: List[SplitRead], chr_seq: str,
     easy_score = (left_s + 1) * (right_s + 1)
     state.mask_set(first.bp_left + SPACER)
     state.mask_set(first.bp_right + SPACER)
+    report_breakdancer_event(state, first.frag_name, first.bp_left + 1,
+                             first.bp_right + 1, first.indel_size, "INV",
+                             state.sv_index)
 
     out.write(HASHLINE + "\n")
     out.write(f"{state.num_inv}\tINV {first.indel_size}"
@@ -451,6 +479,9 @@ def output_tds(reads: List[SplitRead], chr_seq: str, c_s: int, c_e: int,
     easy_score = (left_s + 1) * (right_s + 1)
     state.mask_set(first.bp_left + SPACER)
     state.mask_set(first.bp_right + SPACER)
+    report_breakdancer_event(state, first.frag_name, first.bp_left,
+                             first.bp_right, first.indel_size, "TD",
+                             state.num_td)
 
     # TD coverage columns use BPLeft+1 / BPRight+1 bounds
     cols = []
@@ -515,6 +546,9 @@ def output_inversions(reads: List[SplitRead], chr_seq: str, c_s: int,
     easy_score = (left_s + 1) * (right_s + 1)
     state.mask_set(first.bp_left + SPACER)
     state.mask_set(first.bp_right + SPACER)
+    report_breakdancer_event(state, first.frag_name, first.bp_left,
+                             first.bp_right + 2, first.indel_size, "INV",
+                             state.num_inv)
 
     # INV coverage columns use BPLeft+1 / BPRight+1 bounds
     cols = []
@@ -1033,6 +1067,10 @@ def sort_output_li(reads: List[SplitRead], chr_seq: str, window_start: int,
             continue
 
         first = reads[plus_idx[0]]
+        report_breakdancer_event(state, first.frag_name,
+                                 plus_pos - SPACER + 1,
+                                 minus_pos - SPACER + 1, -1, "LI",
+                                 state.count_li)
         out.write(LI_HASH + "\n")
         header = (f"{state.count_li}\tLI\tChrID {first.frag_name}"
                   f"\t{plus_pos - SPACER + 1}\t+ {len(plus_idx)}"
@@ -1139,6 +1177,8 @@ def sort_output_rest(reads: List[SplitRead], chr_seq: str, window_start: int,
             else:
                 n_minus[sample_idx[r.tag]] += 1
         first = reads[idxs[0]]
+        report_breakdancer_event(state, first.frag_name, 0, 0, -1, "BP",
+                                 -1)
         out.write(LI_HASH + "\n")
         if strand == PLUS:
             header = (f"ChrID {first.frag_name}\t{pos - SPACER + 1}"

@@ -79,9 +79,12 @@ def close_end_lane(chrom: Chromosome, read: SplitRead,
                     direction=BACKWARD, strand=SENSE, chr_name=chrom.name)
 
 
-def far_end_lanes(chrom: Chromosome, read: SplitRead,
-                  regions: Sequence[Tuple[int, int]]) -> List[Lane]:
-    """Both-strand lanes over far-end candidate regions.
+def far_end_lanes(read: SplitRead,
+                  regions: Sequence[Tuple[Chromosome, int, int]]
+                  ) -> List[Lane]:
+    """Both-strand lanes over far-end candidate regions (each region may
+    live on a different chromosome — BreakDancer/RP windows can cross
+    chromosomes).
 
     Reference: SearchFarEndAtPos, farend_searcher.cpp:46-103.  The minus
     strand (PD_Minus) is a backward lane over the reverse complement.
@@ -89,7 +92,7 @@ def far_end_lanes(chrom: Chromosome, read: SplitRead,
     q = read.seq_codes()
     qrc = dna.revcomp(q)
     lanes: List[Lane] = []
-    for (start, end) in regions:
+    for (chrom, start, end) in regions:
         if start < 0:
             start = end - 1
         lanes.append(Lane(chrom.seq, q, start, end, forward=True,
@@ -108,6 +111,7 @@ class Searcher:
         self.settings = settings
         self.maxmm = settings.max_mismatch()
         self.backend = backend or NumpyBackend(settings, self.maxmm)
+        self._fallback = None       # NumPy backend for cross-chrom lanes
 
     def budget(self, read: SplitRead) -> Tuple[int, int]:
         """(MAX_SNP_ERROR, TOTAL_SNP_ERROR_CHECKED_Minus) per read.
@@ -176,9 +180,17 @@ class Searcher:
     # -------------------------------------------------------------------- far
     def search_far_ends(self, chrom: Chromosome, reads: Sequence[SplitRead],
                         bd_regions: Optional[Callable[[SplitRead],
-                                                      List[Tuple[int, int]]]] = None
+                                                      List[Tuple[Chromosome,
+                                                                 int,
+                                                                 int]]]] = None
                         ) -> None:
-        """Fill read.up_far via escalating windows (and BD clusters first)."""
+        """Fill read.up_far via escalating windows (and BD clusters first).
+
+        Reference SearchFarEnd (pindel.cpp:1001-1074): the BreakDancer/RP
+        window cluster is searched first; reads without a good far end
+        then escalate geometric windows (span 64*4^k) around the close
+        end.
+        """
         s = self.settings
         active = [r for r in reads
                   if not r.mapper_split and r.up_close
@@ -188,7 +200,7 @@ class Searcher:
             with_bd = [(r, bd_regions(r)) for r in active]
             with_bd = [(r, regs) for r, regs in with_bd if regs]
             if with_bd:
-                self._far_round(chrom, [r for r, _ in with_bd],
+                self._far_round([r for r, _ in with_bd],
                                 [regs for _, regs in with_bd])
                 active = [r for r in active if not r.good_far_end_found()]
 
@@ -204,20 +216,46 @@ class Searcher:
                     end = center + span
                 else:
                     end = chrom.comp_size - SPACER
-                regions.append([(start, end)])
-            self._far_round(chrom, active, regions)
+                regions.append([(chrom, start, end)])
+            self._far_round(active, regions)
             active = [r for r in active if not r.good_far_end_found()]
             span *= 4
 
-    def _far_round(self, chrom: Chromosome, reads: List[SplitRead],
-                   regions: List[List[Tuple[int, int]]]) -> None:
-        batch_lanes = [far_end_lanes(chrom, r, regs)
+    def _far_round(self, reads: List[SplitRead],
+                   regions: List[List[Tuple[Chromosome, int, int]]]) -> None:
+        """One batched far-end launch.  Reads whose candidate regions span
+        a chromosome the device backend is not loaded with fall back to
+        the exact-semantics NumPy backend."""
+        batch_lanes = [far_end_lanes(r, regs)
                        for r, regs in zip(reads, regions)]
         budgets = [self.budget(r) for r in reads]
-        results = self.backend.run(
-            batch_lanes,
-            10,  # far-end min length hardcoded in reference, farend_searcher.cpp:90
-            [b[0] for b in budgets], [b[1] for b in budgets])
+        backend_chrom = getattr(self.backend, "chrom_name", None)
+        main_idx: List[int] = []
+        fallback_idx: List[int] = []
+        for i, lanes in enumerate(batch_lanes):
+            if backend_chrom is not None and any(
+                    ln.chr_name != backend_chrom for ln in lanes):
+                fallback_idx.append(i)
+            else:
+                main_idx.append(i)
+        results: List = [None] * len(reads)
+        if main_idx:
+            out = self.backend.run(
+                [batch_lanes[i] for i in main_idx],
+                10,  # far-end min length, farend_searcher.cpp:90
+                [budgets[i][0] for i in main_idx],
+                [budgets[i][1] for i in main_idx])
+            for i, res in zip(main_idx, out):
+                results[i] = res
+        if fallback_idx:
+            if self._fallback is None:
+                self._fallback = NumpyBackend(self.settings, self.maxmm)
+            out = self._fallback.run(
+                [batch_lanes[i] for i in fallback_idx], 10,
+                [budgets[i][0] for i in fallback_idx],
+                [budgets[i][1] for i in fallback_idx])
+            for i, res in zip(fallback_idx, out):
+                results[i] = res
         for r, (ups, full_mm) in zip(reads, results):
             # NewUPFarIsBetter, farend_searcher.cpp:30-44
             new_max = int(ups.length[len(ups) - 1]) if ups else 0
