@@ -30,7 +30,9 @@ from pindel_tpu.genome import SPACER, Chromosome, Genome
 from pindel_tpu.reads import SplitRead, read_pindel_file
 from pindel_tpu.report.reporter import (ReporterState,
                                         do_sort_and_output_inversions,
+                                        merge_inter_chr,
                                         sort_and_output_tandem_duplications,
+                                        sort_and_report_interchromosomal_events,
                                         sort_output_d, sort_output_di,
                                         sort_output_li, sort_output_rest,
                                         sort_output_si)
@@ -324,11 +326,26 @@ class Pipeline:
                             if r.up_far:
                                 r.far_frag_name = r.up_far[0].chr_name
                                 r.matched_far_d = r.up_far[0].strand
+                        # per-window interchromosomal pool
+                        # (pindel.cpp:1905-1917)
+                        inter_sr: List[SplitRead] = []
+                        if s.report_interchromosomal_events:
+                            import copy
+                            inter_sr = [copy.copy(r) for r in kept
+                                        if r.up_far
+                                        and r.frag_name != r.far_frag_name]
                         self._search_svs(kept, chr_seq, window,
                                          box_size, num_boxes, bed)
+                        if s.report_interchromosomal_events and inter_sr:
+                            sort_and_report_interchromosomal_events(
+                                inter_sr, self._out("INT"))
                 window.next()
                 if window.finished(not self.bam_input, self.g_max_pos):
                     break
+        # final interchromosomal merge, unconditional (pindel.cpp:1999)
+        if "INT" in self._outputs:
+            self._outputs["INT"].flush()
+        merge_inter_chr(self.settings.out("INT"))
 
     def _search_svs(self, reads: List[SplitRead], chr_seq: str,
                     window: LoopingSearchWindow, box_size: int,

@@ -917,6 +917,157 @@ def sort_output_si(reads: List[SplitRead], boxes: List[List[int]],
                            ev.real_start, ev.real_end, out, state)
 
 
+# ---------------------------------------------------------------------- INT
+
+def _other_strand(d: str) -> str:
+    return "-" if d == "+" else "+" if d == "-" else ""
+
+
+def _int_exact_split(read: SplitRead, close_ascending: bool) -> bool:
+    """The exact close+far==readlen anchor pairing shared by all four
+    branches of the reference INT detector (reporter.cpp:2475-2640)."""
+    n_close = len(read.up_close)
+    n_far = len(read.up_far)
+    close_range = range(n_close) if close_ascending \
+        else range(n_close - 1, -1, -1)
+    far_range = range(n_far - 1, -1, -1) if close_ascending \
+        else range(n_far)
+    for ci in close_range:
+        if read.used:
+            break
+        close = read.up_close[ci]
+        for fi in far_range:
+            if read.used:
+                break
+            far = read.up_far[fi]
+            if close.length_str + far.length_str == read.read_length:
+                read.used = True
+                read.bp = close.length_str - 1
+                read.bp_left = close.abs_loc - SPACER
+                read.bp_right = far.abs_loc - SPACER
+                return True
+    return False
+
+
+def sort_and_report_interchromosomal_events(
+        inter_reads: List[SplitRead], out: TextIO) -> None:
+    """SortAndReportInterChromosomalEvents (reporter.cpp:2428-2666).
+
+    Quirks preserved: the ReadNames dedup set is shared across ALL
+    chromosome-pair iterations and reads are inserted before the pair
+    match test, so with three or more chromosomes only the first pair in
+    sorted order actually processes reads; calls are keyed by the full
+    result string (std::map order = sorted) with support cutoff 2."""
+    call_support: Dict[str, int] = {}
+    chr_names = sorted({r.frag_name for r in inter_reads}
+                       | {r.far_frag_name for r in inter_reads})
+    read_names: set = set()
+    for i, first in enumerate(chr_names):
+        for second in chr_names[i + 1:]:
+            for read in inter_reads:
+                if read.name in read_names:
+                    continue
+                read_names.add(read.name)
+                if read.frag_name == first \
+                        and read.far_frag_name == second:
+                    close_ascending = read.matched_d == "+"
+                elif read.frag_name == second \
+                        and read.far_frag_name == first:
+                    close_ascending = read.matched_far_d == "-"
+                else:
+                    continue
+                inserted = '""'
+                good = _int_exact_split(read, close_ascending)
+                if not good:
+                    last_close = read.up_close[len(read.up_close) - 1]
+                    last_far = read.up_far[len(read.up_far) - 1]
+                    effective = last_close.length_str + last_far.length_str
+                    if (effective >= 30 and last_close.length_str >= 10
+                            and last_far.length_str >= 10):
+                        inserted = ('"' + read.seq[
+                            last_far.length_str:
+                            last_far.length_str + read.read_length
+                            - effective] + '"')
+                        read.bp_left = last_close.abs_loc - SPACER
+                        read.bp_right = last_far.abs_loc - SPACER
+                        good = True
+                if good:
+                    key = (f"Anchor {read.matched_d} {read.frag_name} "
+                           f"{read.bp_left} "
+                           f"{_other_strand(read.matched_d)} "
+                           f"{read.far_frag_name} {read.bp_right} "
+                           f"{read.matched_far_d} {inserted}")
+                    call_support[key] = call_support.get(key, 0) + 1
+    for key in sorted(call_support):
+        if call_support[key] >= 2:
+            out.write(f"{key}\tsupport: {call_support[key]}\n")
+
+
+def merge_inter_chr(int_path: str) -> None:
+    """MergeInterChr (pindel.cpp:1526-1579): merges ±10 bp duplicate
+    interchromosomal calls from _INT into _INT_final with support
+    cutoff 2 (singletons need 4).  Quirk preserved: a single call with
+    support >= 4 is written twice (once by the size<2 branch, once by
+    the unpaired branch of the main loop)."""
+    cutoff = 2
+    calls = []
+    try:
+        with open(int_path) as fh:
+            toks = fh.read().split()
+    except OSError:
+        toks = []
+    i = 0
+    while i + 11 <= len(toks):
+        # Anchor D chr pos D chr pos D seq support: N
+        calls.append({"anchor_d": toks[i + 1], "chr1": toks[i + 2],
+                      "pos1": int(toks[i + 3]), "d1": toks[i + 4],
+                      "chr2": toks[i + 5], "pos2": int(toks[i + 6]),
+                      "d2": toks[i + 7], "seq": toks[i + 8],
+                      "support": int(toks[i + 10])})
+        i += 11
+    with open(int_path + "_final", "w") as out:
+        if not calls:
+            return
+        if len(calls) < 2:
+            c = calls[0]
+            if c["support"] >= cutoff * 2:
+                out.write(f"{c['chr1']}\t{c['pos1']}\t{c['chr2']}\t"
+                          f"{c['pos2']}\t{c['seq']}\t{c['support']}\t"
+                          f"{c['anchor_d']}\t{c['chr1']}\t{c['pos1']}\t"
+                          f"{c['d1']}\t{c['chr2']}\t{c['pos2']}\t"
+                          f"{c['d2']}\t{c['seq']}\t{c['support']}\n")
+        for ia, a in enumerate(calls):
+            reported = False
+            for b in calls[ia + 1:]:
+                if (a["chr1"] == b["chr1"] and a["chr2"] == b["chr2"]
+                        and abs(a["pos1"] - b["pos1"]) < 10
+                        and abs(a["pos2"] - b["pos2"]) < 10
+                        and a["support"] + b["support"] >= cutoff):
+                    out.write(
+                        f"chr\t{a['chr1']}\tpos\t"
+                        f"{(a['pos1'] + b['pos1']) // 2}\tchr\t"
+                        f"{a['chr2']}\tpos\t"
+                        f"{(a['pos2'] + b['pos2']) // 2}\tseq\t"
+                        f"{a['seq']}\tsupport\t"
+                        f"{a['support'] + b['support']}\tINFOR\t"
+                        f"{a['anchor_d']}\t{a['chr1']}\t{a['pos1']}\t"
+                        f"{a['d1']}\t{a['chr2']}\t{a['pos2']}\t"
+                        f"{a['d2']}\t{a['seq']}\t{a['support']}\t"
+                        f"{b['anchor_d']}\t{b['chr1']}\t{b['pos1']}\t"
+                        f"{b['d1']}\t{b['chr2']}\t{b['pos2']}\t"
+                        f"{b['d2']}\t{b['seq']}\t{b['support']}\n")
+                    reported = True
+                    break
+            if not reported and a["support"] >= cutoff * 2:
+                out.write(
+                    f"chr\t{a['chr1']}\tpos\t{a['pos1']}\tchr\t"
+                    f"{a['chr2']}\tpos\t{a['pos2']}\tseq\t{a['seq']}"
+                    f"\tsupport\t{a['support']}\tINFOR\t"
+                    f"{a['anchor_d']}\t{a['chr1']}\t{a['pos1']}\t"
+                    f"{a['d1']}\t{a['chr2']}\t{a['pos2']}\t{a['d2']}\t"
+                    f"{a['seq']}\t{a['support']}\n")
+
+
 # ------------------------------------------------------------------- LI / BP
 
 MAX_SHORT = 128          # pileup counter saturation, reference pindel.h:126
