@@ -10,7 +10,8 @@ STUB=$(cd "$(dirname "$0")/htslib_stub" && pwd)
 OUT=${OUT:-/tmp/pindel_oracle}
 mkdir -p "$OUT"
 
-if [[ -x "$OUT/pindel" && "$OUT/pindel" -nt "$STUB/htslib/sam.h" ]]; then
+if [[ -x "$OUT/pindel" && "$OUT/pindel" -nt "$STUB/htslib/sam.h" \
+      && "$OUT/pindel" -nt "$STUB/hts_stub.cpp" ]]; then
   echo "oracle up to date: $OUT/pindel"
   exit 0
 fi
