@@ -61,6 +61,16 @@ def main(argv=None) -> int:
                     help="search for discordant read pairs (BAM input)")
     ap.add_argument("-I", "--report_interchromosomal_events",
                     action="store_true")
+    ap.add_argument("-q", "--detect_DD", action="store_true",
+                    help="detect dispersed duplications and exit "
+                         "(reference pindel.cpp:1744-1746)")
+    ap.add_argument("--MAX_DD_BREAKPOINT_DISTANCE", type=int, default=350)
+    ap.add_argument("--MAX_DISTANCE_CLUSTER_READS", type=int, default=100)
+    ap.add_argument("--MIN_DD_CLUSTER_SIZE", type=int, default=3)
+    ap.add_argument("--MIN_DD_BREAKPOINT_SUPPORT", type=int, default=3)
+    ap.add_argument("--MIN_DD_MAP_DISTANCE", type=int, default=8000)
+    ap.add_argument("--DD_REPORT_DUPLICATION_READS", action="store_true")
+    ap.add_argument("-A", "--anchor_quality", type=int, default=0)
     ap.add_argument("--backend", choices=["numpy", "jax"], default="jax")
     args = ap.parse_args(argv)
 
@@ -90,7 +100,22 @@ def main(argv=None) -> int:
         breakdancer_output_filename=args.output_of_breakdancer_events,
         search_discordant_read_pair=args.search_discordant,
         report_interchromosomal_events=args.report_interchromosomal_events,
+        detect_dd=args.detect_DD,
+        max_dd_breakpoint_distance=args.MAX_DD_BREAKPOINT_DISTANCE,
+        max_distance_cluster_reads=args.MAX_DISTANCE_CLUSTER_READS,
+        min_dd_cluster_size=args.MIN_DD_CLUSTER_SIZE,
+        min_dd_breakpoint_support=args.MIN_DD_BREAKPOINT_SUPPORT,
+        min_dd_map_distance=args.MIN_DD_MAP_DISTANCE,
+        dd_report_duplication_reads=args.DD_REPORT_DUPLICATION_READS,
+        min_anchor_quality=args.anchor_quality,
     )
+    if args.detect_DD:
+        # -q runs DD detection and exits (reference pindel.cpp:1744-1746)
+        from pindel_tpu.dd import run_dd_files
+        if not args.config:
+            ap.error("-q requires a bam config (-i)")
+        return run_dd_files(args.fasta, args.config, args.output_prefix,
+                            settings=s, backend=args.backend)
     run_files(args.fasta, args.pindel_file, args.output_prefix,
               settings=s, backend=args.backend, bam_config=args.config)
     return 0

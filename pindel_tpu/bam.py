@@ -89,6 +89,16 @@ def _lib():
     lib.ptbam_collect_rp.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int64]
+    lib.ptbam_collect_dd.restype = ctypes.c_int64
+    lib.ptbam_collect_dd.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64]
+    lib.ptbam_header_text.restype = ctypes.c_char_p
+    lib.ptbam_header_text.argtypes = [ctypes.c_void_p]
+    lib.ptbam_dd_rg.restype = ctypes.POINTER(ctypes.c_char)
+    lib.ptbam_dd_rg.argtypes = [ctypes.c_void_p]
+    lib.ptbam_dd_rg_size.restype = ctypes.c_int64
+    lib.ptbam_dd_rg_size.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -170,6 +180,44 @@ class BamReader:
             ref_reads = [RefRead(int(rp[i]), int(rq[i]), int(rl[i]), tag)
                          for i in range(nref)]
         return reads, ref_reads
+
+    def header_text(self) -> str:
+        """SAM header text (for @RG sample dictionaries)."""
+        return self._lib.ptbam_header_text(self._h).decode(
+            errors="replace")
+
+    def collect_dd(self, tid: int, start: int, end: int,
+                   insert_size: int, min_dd_map_distance: int):
+        """Discordant reads for DD/-q mode (fetch_disc_read_callback,
+        search_MEI.cpp:689-713).  Returns parallel lists/arrays:
+        (names, seqs, read_groups, pos, mpos, mtid, l_qseq, strand_bits)
+        where strand_bits packs read-reverse / mate-reverse / READ1."""
+        n = self._lib.ptbam_collect_dd(self._h, tid, start, end,
+                                       insert_size, min_dd_map_distance)
+        if not n:
+            return [], [], [], [], [], [], [], []
+        names = ctypes.string_at(
+            self._lib.ptbam_sr_names(self._h),
+            self._lib.ptbam_sr_names_size(self._h)
+        ).decode().split("\0")[:-1]
+        seqs = ctypes.string_at(
+            self._lib.ptbam_sr_seqs(self._h),
+            self._lib.ptbam_sr_seqs_size(self._h)
+        ).decode().split("\0")[:-1]
+        rgs = ctypes.string_at(
+            self._lib.ptbam_dd_rg(self._h),
+            self._lib.ptbam_dd_rg_size(self._h)
+        ).decode().split("\0")[:-1]
+        pos = self._lib.ptbam_ref_read_pos(self._h)
+        mpos = self._lib.ptbam_sr_pos(self._h)
+        mtid = self._lib.ptbam_sr_ms(self._h)
+        lens = self._lib.ptbam_ref_read_len(self._h)
+        bits = self._lib.ptbam_sr_dir(self._h)
+        rng = range(n)
+        return (names, seqs, rgs,
+                [pos[i] for i in rng], [mpos[i] for i in rng],
+                [mtid[i] for i in rng], [lens[i] for i in rng],
+                [bits[i] for i in rng])
 
     def collect_rp(self, chrom_name: str, start: int, end: int,
                    insert_size: int, tag: str,

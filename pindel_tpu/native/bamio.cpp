@@ -53,6 +53,7 @@ struct Record {
   uint8_t has_indel;    // reference HasIndel
   uint32_t name_off, name_len;
   uint64_t seq_off;     // into seq pool (ASCII bases)
+  uint32_t rg_off, rg_len;   // RG aux value (into rg pool), len 0 if absent
   int32_t mtid;
   int64_t mpos;
   int64_t isize;
@@ -64,6 +65,8 @@ struct BamFile {
   std::vector<Record> recs;            // file order
   std::string name_pool;
   std::string seq_pool;
+  std::string rg_pool;                 // RG aux values
+  std::string header_text;             // SAM header text (@RG etc.)
   // per-tid: [first_index, last_index) in recs (file is coordinate-sorted,
   // records grouped by tid) and max reference span for overlap queries
   std::vector<int64_t> tid_begin, tid_end, tid_max_span;
@@ -77,6 +80,7 @@ struct BamFile {
   std::vector<int8_t> sr_dir;          // '+' or '-'
   std::vector<int64_t> ref_pos;
   std::vector<int32_t> ref_mq, ref_len;
+  std::string dd_rg;                   // '\0'-separated per-read RG values
 };
 
 bool read_exact(gzFile f, void* buf, unsigned n) {
@@ -88,8 +92,11 @@ bool read_le(gzFile f, T* v) {
   return read_exact(f, v, sizeof(T));
 }
 
-// Parse aux data for NM; returns -1 when absent.
-int32_t parse_nm(const uint8_t* aux, const uint8_t* end) {
+// Parse aux data for NM (returns -1 when absent) and RG (appended to
+// rg_pool; rg_len stays 0 when absent).
+int32_t parse_aux(const uint8_t* aux, const uint8_t* end, Record* r,
+                  std::string* rg_pool) {
+  int32_t nm = -1;
   while (aux + 3 <= end) {
     char t0 = aux[0], t1 = aux[1], type = aux[2];
     const uint8_t* p = aux + 3;
@@ -106,7 +113,7 @@ int32_t parse_nm(const uint8_t* aux, const uint8_t* end) {
         break;
       }
       case 'B': {
-        if (p + 5 > end) return -1;
+        if (p + 5 > end) return nm;
         char sub = p[0];
         uint32_t n;
         memcpy(&n, p + 1, 4);
@@ -116,7 +123,7 @@ int32_t parse_nm(const uint8_t* aux, const uint8_t* end) {
         break;
       }
       default:
-        return -1;  // unknown tag type: stop scanning
+        return nm;  // unknown tag type: stop scanning
     }
     if (t0 == 'N' && t1 == 'M') {
       switch (type) {
@@ -128,11 +135,16 @@ int32_t parse_nm(const uint8_t* aux, const uint8_t* end) {
         case 'I': { uint32_t x; memcpy(&x, p, 4); value = x; break; }
         default: value = 0;
       }
-      return static_cast<int32_t>(value);
+      nm = static_cast<int32_t>(value);
+    } else if (t0 == 'R' && t1 == 'G' && type == 'Z') {
+      unsigned len = skip ? skip - 1 : 0;
+      r->rg_off = rg_pool->size();
+      r->rg_len = len;
+      rg_pool->append(reinterpret_cast<const char*>(p), len);
     }
     aux = p + skip;
   }
-  return -1;
+  return nm;
 }
 
 }  // namespace
@@ -157,6 +169,7 @@ void* ptbam_open(const char* path) {
   read_le(f, &l_text);
   std::vector<char> text(l_text);
   if (l_text) read_exact(f, text.data(), l_text);
+  bf->header_text.assign(text.data(), l_text);
   int32_t n_ref;
   read_le(f, &n_ref);
   for (int32_t i = 0; i < n_ref; i++) {
@@ -233,7 +246,7 @@ void* ptbam_open(const char* path) {
       bf->seq_pool.push_back(SEQ_NT16[code]);
     }
     const uint8_t* aux = seq4 + (l_seq + 1) / 2 + l_seq;
-    r.nm = parse_nm(aux, p + block_size);
+    r.nm = parse_aux(aux, p + block_size, &r, &bf->rg_pool);
 
     // isWeirdRead (reader.cpp:661-690): unmapped, or any I/D/N/S/H/P op,
     // or NM != 0, or edits + non-M cigar length > 0
@@ -470,6 +483,76 @@ int64_t ptbam_collect_rp(void* h, int32_t tid, int64_t start, int64_t end,
     }
   }
   return bf->ref_pos.size();
+}
+
+// Discordant-read collection for dispersed-duplication (-q) mode.
+// Mirrors fetch_disc_read_callback (search_MEI.cpp:689-713): both mates
+// mapped, not concordant (is_concordant, search_MEI.cpp:46-64: same tid,
+// opposite strands, |isize| < l_qseq + 2*insert), and either
+// cross-chromosome or |pos - mpos| > min_dd_map_distance.  Emits name,
+// pos, mpos, mtid, l_qseq, packed strand/read1 bits, the full ASCII
+// sequence and the RG aux value per read.
+int64_t ptbam_collect_dd(void* h, int32_t tid, int64_t start, int64_t end,
+                         int64_t insert_size, int64_t min_dd_map_distance) {
+  auto* bf = static_cast<BamFile*>(h);
+  bf->ref_pos.clear();      // pos
+  bf->sr_pos.clear();       // mpos
+  bf->sr_ms.clear();        // mtid
+  bf->ref_len.clear();      // l_qseq
+  bf->sr_dir.clear();       // bit0 read rev, bit1 mate rev, bit2 READ1
+  bf->sr_names.clear();
+  bf->sr_seqs.clear();
+  bf->dd_rg.clear();
+  if (tid < 0 || static_cast<size_t>(tid) >= bf->ref_names.size()
+      || bf->tid_begin[tid] < 0)
+    return 0;
+  int64_t lo = bf->tid_begin[tid], hi = bf->tid_end[tid];
+  int64_t target = start - bf->tid_max_span[tid];
+  while (lo < hi) {
+    int64_t mid = (lo + hi) / 2;
+    if (bf->recs[mid].pos < target) lo = mid + 1;
+    else hi = mid;
+  }
+  for (int64_t i = lo; i < bf->tid_end[tid]; i++) {
+    const Record& r = bf->recs[i];
+    if (r.pos >= end) break;
+    if (r.endpos <= start) continue;
+    if (r.flag & (FLAG_UNMAP | FLAG_MUNMAP)) continue;
+    bool same_strand = ((r.flag & FLAG_REVERSE) != 0)
+                       == ((r.flag & FLAG_MREVERSE) != 0);
+    int64_t isize = r.isize < 0 ? -r.isize : r.isize;
+    bool concordant = (r.tid == r.mtid) && !same_strand
+                      && isize < r.l_qseq + 2 * insert_size;
+    if (concordant) continue;
+    int64_t dist = r.pos - r.mpos;
+    if (dist < 0) dist = -dist;
+    if (r.tid == r.mtid && dist <= min_dd_map_distance) continue;
+    bf->ref_pos.push_back(r.pos);
+    bf->sr_pos.push_back(r.mpos);
+    bf->sr_ms.push_back(r.mtid);
+    bf->ref_len.push_back(r.l_qseq);
+    bf->sr_dir.push_back(((r.flag & FLAG_REVERSE) ? 1 : 0)
+                         | ((r.flag & FLAG_MREVERSE) ? 2 : 0)
+                         | ((r.flag & FLAG_READ1) ? 4 : 0));
+    bf->sr_names.append(bf->name_pool, r.name_off, r.name_len);
+    bf->sr_names.push_back('\0');
+    bf->sr_seqs.append(bf->seq_pool, r.seq_off, r.l_qseq);
+    bf->sr_seqs.push_back('\0');
+    bf->dd_rg.append(bf->rg_pool, r.rg_off, r.rg_len);
+    bf->dd_rg.push_back('\0');
+  }
+  return bf->ref_pos.size();
+}
+
+const char* ptbam_header_text(void* h) {
+  return static_cast<BamFile*>(h)->header_text.c_str();
+}
+
+const char* ptbam_dd_rg(void* h) {
+  return static_cast<BamFile*>(h)->dd_rg.c_str();
+}
+int64_t ptbam_dd_rg_size(void* h) {
+  return static_cast<BamFile*>(h)->dd_rg.size();
 }
 
 const char* ptbam_sr_names(void* h) {

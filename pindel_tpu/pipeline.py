@@ -67,6 +67,20 @@ class BedRegion:
     end: int
 
 
+def build_regions(settings: Settings, genome: Genome) -> List[BedRegion]:
+    """-c / -j / -J region selection (pindel.cpp:1601-1716)."""
+    import os
+
+    from pindel_tpu.regions import Fai, SearchRegion, build_include_bed
+    fai_path = settings.reference_filename + ".fai"
+    fai = (Fai.read(fai_path) if os.path.exists(fai_path)
+           else Fai.from_genome(genome))
+    region = SearchRegion.parse(settings.region or "ALL", fai)
+    beds = build_include_bed(region, fai, settings.include_bed,
+                             settings.exclude_bed)
+    return [BedRegion(name, start, end) for name, start, end in beds]
+
+
 class LoopingSearchWindow:
     """Reference pindel.h:718-737, pindel.cpp:344-473."""
 
@@ -236,17 +250,7 @@ class Pipeline:
 
     # ----------------------------------------------------------------- run
     def build_regions(self) -> List[BedRegion]:
-        """-c / -j / -J region selection (pindel.cpp:1601-1716)."""
-        import os
-
-        from pindel_tpu.regions import Fai, SearchRegion, build_include_bed
-        s = self.settings
-        fai_path = s.reference_filename + ".fai"
-        fai = (Fai.read(fai_path) if os.path.exists(fai_path)
-               else Fai.from_genome(self.genome))
-        region = SearchRegion.parse(s.region or "ALL", fai)
-        beds = build_include_bed(region, fai, s.include_bed, s.exclude_bed)
-        return [BedRegion(name, start, end) for name, start, end in beds]
+        return build_regions(self.settings, self.genome)
 
     def run(self, regions: Optional[List[BedRegion]] = None) -> None:
         s = self.settings
