@@ -71,6 +71,9 @@ def main(argv=None) -> int:
     ap.add_argument("--MIN_DD_MAP_DISTANCE", type=int, default=8000)
     ap.add_argument("--DD_REPORT_DUPLICATION_READS", action="store_true")
     ap.add_argument("-A", "--anchor_quality", type=int, default=0)
+    ap.add_argument("-N", "--NormalSamples", dest="normal_samples",
+                    action="store_true",
+                    help="germline read-depth filtering of calls")
     ap.add_argument("--backend", choices=["numpy", "jax"], default="jax")
     args = ap.parse_args(argv)
 
@@ -108,6 +111,7 @@ def main(argv=None) -> int:
         min_dd_map_distance=args.MIN_DD_MAP_DISTANCE,
         dd_report_duplication_reads=args.DD_REPORT_DUPLICATION_READS,
         min_anchor_quality=args.anchor_quality,
+        normal_samples=args.normal_samples,
     )
     if args.detect_DD:
         # -q runs DD detection and exits (reference pindel.cpp:1744-1746)

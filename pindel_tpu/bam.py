@@ -95,6 +95,10 @@ def _lib():
         ctypes.c_int64, ctypes.c_int64]
     lib.ptbam_header_text.restype = ctypes.c_char_p
     lib.ptbam_header_text.argtypes = [ctypes.c_void_p]
+    lib.ptbam_depth_sum.restype = ctypes.c_int64
+    lib.ptbam_depth_sum.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32]
     lib.ptbam_dd_rg.restype = ctypes.POINTER(ctypes.c_char)
     lib.ptbam_dd_rg.argtypes = [ctypes.c_void_p]
     lib.ptbam_dd_rg_size.restype = ctypes.c_int64
@@ -218,6 +222,16 @@ class BamReader:
                 [pos[i] for i in rng], [mpos[i] for i in rng],
                 [mtid[i] for i in rng], [lens[i] for i in rng],
                 [bits[i] for i in rng])
+
+    def depth_sum(self, chrom_name: str, beg: int, end: int,
+                  min_mapq: int = 20) -> int:
+        """Summed per-base depth over [beg, end) (reference bam2depth
+        pileup loop, bam2depth.cpp:72-95)."""
+        if chrom_name not in self.ref_names:
+            return 0
+        tid = self.ref_names.index(chrom_name)
+        return int(self._lib.ptbam_depth_sum(self._h, tid, beg, end,
+                                             min_mapq))
 
     def collect_rp(self, chrom_name: str, start: int, end: int,
                    insert_size: int, tag: str,

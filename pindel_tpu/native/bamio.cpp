@@ -54,6 +54,8 @@ struct Record {
   uint32_t name_off, name_len;
   uint64_t seq_off;     // into seq pool (ASCII bases)
   uint32_t rg_off, rg_len;   // RG aux value (into rg pool), len 0 if absent
+  uint32_t mseg_off, mseg_count;  // ref-consuming match segments when the
+                                  // cigar has D/N holes (0 = solid span)
   int32_t mtid;
   int64_t mpos;
   int64_t isize;
@@ -67,6 +69,7 @@ struct BamFile {
   std::string seq_pool;
   std::string rg_pool;                 // RG aux values
   std::string header_text;             // SAM header text (@RG etc.)
+  std::vector<int64_t> mseg_pool;      // (start, end) pairs for D/N reads
   // per-tid: [first_index, last_index) in recs (file is coordinate-sorted,
   // records grouped by tid) and max reference span for overlap queries
   std::vector<int64_t> tid_begin, tid_end, tid_max_span;
@@ -219,7 +222,7 @@ void* ptbam_open(const char* path) {
     // cigar-derived values (reference reader.cpp:1318-1346, :661-718)
     int64_t ref_span = 0;
     int32_t c2l = 0, cmm = 0;
-    bool nonm_idnshp = false, indel = false;
+    bool nonm_idnshp = false, indel = false, has_hole = false;
     for (uint16_t k = 0; k < n_cigar; k++) {
       uint32_t cv;
       memcpy(&cv, cig + 4 * k, 4);
@@ -232,6 +235,35 @@ void* ptbam_open(const char* path) {
       if (op == 1 || op == 2 || op == 3 || op == 4 || op == 5 || op == 6)
         nonm_idnshp = true;                      // I D N S H P
       if (op == 1 || op == 2) indel = true;
+      if (op == 2 || op == 3) has_hole = true;   // D N split the M span
+    }
+    if (has_hole) {
+      // store the exact ref-consuming match segments for depth queries
+      r.mseg_off = bf->mseg_pool.size();
+      int64_t ref = r.pos;
+      int64_t seg_start = -1;
+      for (uint16_t k = 0; k < n_cigar; k++) {
+        uint32_t cv;
+        memcpy(&cv, cig + 4 * k, 4);
+        uint32_t op = cv & 0xf, len = cv >> 4;
+        bool m_like = (op == 0 || op == 7 || op == 8);
+        if (m_like) {
+          if (seg_start < 0) seg_start = ref;
+          ref += len;
+        } else if (op == 2 || op == 3) {
+          if (seg_start >= 0) {
+            bf->mseg_pool.push_back(seg_start);
+            bf->mseg_pool.push_back(ref);
+            seg_start = -1;
+          }
+          ref += len;
+        }
+      }
+      if (seg_start >= 0) {
+        bf->mseg_pool.push_back(seg_start);
+        bf->mseg_pool.push_back(ref);
+      }
+      r.mseg_count = (bf->mseg_pool.size() - r.mseg_off) / 2;
     }
     r.cigar2len = c2l;
     r.cigar_mm = cmm;
@@ -542,6 +574,48 @@ int64_t ptbam_collect_dd(void* h, int32_t tid, int64_t start, int64_t end,
     bf->dd_rg.push_back('\0');
   }
   return bf->ref_pos.size();
+}
+
+// Summed per-base read depth over [beg, end): for every mapped record
+// with mapq >= min_mapq, add the overlap of its ref-consuming match
+// segments with the window.  Equivalent to the reference's
+// bam2depth pileup sum (bam2depth.cpp:37-110: mapq<min flagged unmapped,
+// D/N positions excluded, base quality floor 0).
+int64_t ptbam_depth_sum(void* h, int32_t tid, int64_t beg, int64_t end,
+                        int32_t min_mapq) {
+  auto* bf = static_cast<BamFile*>(h);
+  if (tid < 0 || static_cast<size_t>(tid) >= bf->ref_names.size()
+      || bf->tid_begin[tid] < 0 || end <= beg)
+    return 0;
+  int64_t lo = bf->tid_begin[tid], hi = bf->tid_end[tid];
+  int64_t target = beg - bf->tid_max_span[tid];
+  while (lo < hi) {
+    int64_t mid = (lo + hi) / 2;
+    if (bf->recs[mid].pos < target) lo = mid + 1;
+    else hi = mid;
+  }
+  int64_t sum = 0;
+  for (int64_t i = lo; i < bf->tid_end[tid]; i++) {
+    const Record& r = bf->recs[i];
+    if (r.pos >= end) break;
+    if (r.endpos <= beg) continue;
+    if (r.flag & FLAG_UNMAP) continue;
+    if (r.mapq < min_mapq) continue;
+    if (r.mseg_count == 0) {
+      int64_t a = r.pos > beg ? r.pos : beg;
+      int64_t b = r.endpos < end ? r.endpos : end;
+      if (b > a) sum += b - a;
+    } else {
+      for (uint32_t s = 0; s < r.mseg_count; s++) {
+        int64_t a = bf->mseg_pool[r.mseg_off + 2 * s];
+        int64_t b = bf->mseg_pool[r.mseg_off + 2 * s + 1];
+        if (a < beg) a = beg;
+        if (b > end) b = end;
+        if (b > a) sum += b - a;
+      }
+    }
+  }
+  return sum;
 }
 
 const char* ptbam_header_text(void* h) {

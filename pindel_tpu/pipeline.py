@@ -150,6 +150,10 @@ class Pipeline:
             self.state.sample_names.add(entry.tag)
             if entry.path not in self._bam_readers:
                 self._bam_readers[entry.path] = BamReader(entry.path)
+        # -N germline RD filter context
+        self.state.bam_entries = self.bam_entries
+        self.state.bam_readers = self._bam_readers
+        self.state.genome = self.genome
 
     def create_output_files(self) -> None:
         """TestFileForOutput truncation at init (pindel.cpp:932-938) plus

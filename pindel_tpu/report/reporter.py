@@ -147,6 +147,11 @@ class ReporterState:
         # per-sample counts; pindel-format input has no reference-
         # supporting reads so all counts are zero
         self.ref_coverage = None    # numpy int32 array in BAM mode
+        # -N germline RD filter context (BAM mode only): bam config
+        # entries, open readers and the genome for depth queries
+        self.bam_entries = []
+        self.bam_readers: dict = {}
+        self.genome = None
 
     @property
     def sv_index(self) -> int:
@@ -622,6 +627,30 @@ def output_inversions(reads: List[SplitRead], chr_seq: str, c_s: int,
         out.write("".join(parts) + "\n")
 
 
+def _is_good_td(good: List[SplitRead], ev, real_start: int, real_end: int,
+                state: ReporterState) -> bool:
+    """Germline read-depth filter for TDs (IsGoodTD,
+    reporter.cpp:1093-1155; the early RealStart/RealEnd checks live at
+    the call site).  Active only for BAM input with -N; a relative
+    coverage >= 2.7 in (nearly) all supporting samples confirms the
+    duplication."""
+    s = state.settings
+    if not state.bam_entries or not s.normal_samples:
+        return True
+    if real_end - real_start < good[0].read_length * 2:
+        return True
+    from pindel_tpu.depth import (rd_vote, relative_coverage_for_filtering,
+                                  update_sample_ids)
+    if state.genome is None or state.genome.get(ev.chr_name) is None:
+        return False
+    tags = {good[i].tag for i in range(ev.start, ev.end + 1)}
+    sample_ids = update_sample_ids(state.bam_entries, tags)
+    signals = relative_coverage_for_filtering(
+        state.genome, ev.chr_name, state.bam_entries, state.bam_readers,
+        sample_ids, real_start, real_end)
+    return rd_vote(signals, 2.7, deletion=False)
+
+
 def sort_and_output_tandem_duplications(
         reads: List[SplitRead], boxes: List[List[int]], chr_seq: str,
         out: TextIO, state: ReporterState, non_template: bool) -> None:
@@ -673,6 +702,8 @@ def sort_and_output_tandem_duplications(
             # IsGoodTD early checks (reporter.cpp:1096-1103); pindel-format
             # input then short-circuits to true
             if real_end < real_start or real_start == 0:
+                continue
+            if not _is_good_td(good, ev, real_start, real_end, state):
                 continue
             if ev.support >= cutoff:
                 if good[ev.start].indel_size < state.settings.balance_cutoff:
