@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import List, Sequence, Tuple
 
 import jax
@@ -260,6 +261,8 @@ class JaxBackend:
                 out.extend(self.run(batch_lanes[lo:hi], bp_start,
                                     max_snps[lo:hi], tsec_minus[lo:hi]))
             return out
+        from pindel_tpu.profiling import g_timer
+        t_pack = time.monotonic()
         nl = max(len(lanes) for lanes in batch_lanes)
         widths = [max((l.end - l.start) for l in lanes) if lanes else 1
                   for lanes in batch_lanes]
@@ -307,6 +310,8 @@ class JaxBackend:
         max_allowed = np.zeros(b, dtype=np.float32)
         max_allowed[:n_real] = np.float32(
             np.array(qlens, dtype=np.float64) * np.float64(self.rate))
+        t_kernel = time.monotonic()
+        g_timer.add("device: pack lanes", t_kernel - t_pack)
         packed = jax.device_get(
             _search_kernel(
                 self.chrom_dev,
@@ -316,14 +321,19 @@ class JaxBackend:
                 self.maxmm_dev, jnp.asarray(max_allowed),
                 w=w, lmax=lmax, nl=nl, mpm=self.mpm,
                 bp_start=bp_start))
+        t_decode = time.monotonic()
+        g_timer.add(f"device: kernel+xfer w={w} nl={nl} b={b}",
+                    t_decode - t_kernel)
         emit, min_mm, rep_lane, rep_w, full_last = unpack_kernel_output(
             packed[:n_real], lmax)
 
-        return decode_emissions(
+        out = decode_emissions(
             emit, min_mm, rep_lane, rep_w, full_last,
             slice_start[:n_real], w, lmax,
             lane_fwd[:n_real], lane_dir_minus[:n_real],
             lane_strand_minus[:n_real], lane_chr[:n_real])
+        g_timer.add("device: decode emissions", time.monotonic() - t_decode)
+        return out
 
 
 def decode_emissions(emit, min_mm, rep_lane, rep_w, full_last,

@@ -36,6 +36,7 @@ from pindel_tpu.report.reporter import (ReporterState,
                                         sort_output_d, sort_output_di,
                                         sort_output_li, sort_output_rest,
                                         sort_output_si)
+from pindel_tpu.profiling import g_log, g_read_stats, g_timer
 from pindel_tpu.search import Searcher
 
 AROUND_REGION_BUFFER = 10_000   # pindel.cpp:127
@@ -288,19 +289,29 @@ class Pipeline:
                 self.bd.load_region(chrom.name,
                                     window.current_start + SPACER,
                                     window.current_end + SPACER)
-                if self.bam_input:
-                    reads, ref_reads = self._window_reads_bam(chrom, window)
-                else:
-                    reads = self._window_reads(chrom, window)
-                    ref_reads = []
-                self._update_ref_coverage(ref_reads, window)
+                with g_timer.phase("Reading in reads"):
+                    if self.bam_input:
+                        reads, ref_reads = self._window_reads_bam(
+                            chrom, window)
+                    else:
+                        reads = self._window_reads(chrom, window)
+                        ref_reads = []
+                    self._update_ref_coverage(ref_reads, window)
+                g_read_stats.in_window += len(reads)
                 for r in reads:
                     # g_maxInsertSize update in GetCloseEndInner
                     # (pindel.cpp:2257) — for every read searched
                     if r.insert_size > self.state.max_insert_size:
                         self.state.max_insert_size = r.insert_size
-                self.searcher.map_close_ends(chrom, reads)
-                kept = self.searcher.finalize_close_ends(reads)
+                with g_timer.phase("Matching close ends"):
+                    self.searcher.map_close_ends(chrom, reads)
+                    kept = self.searcher.finalize_close_ends(reads)
+                from pindel_tpu.reads import PLUS
+                for r in kept:
+                    if r.matched_d == PLUS:
+                        g_read_stats.close_mapped_plus += 1
+                    else:
+                        g_read_stats.close_mapped_minus += 1
                 for r in kept:
                     if self.state.report_length < r.read_length:
                         self.state.report_length = r.read_length
@@ -328,10 +339,12 @@ class Pipeline:
                                 regs.append((c, w_start, w_end))
                             return regs
 
-                        self.searcher.search_far_ends(chrom, kept,
-                                                      bd_regions=bd_regions)
+                        with g_timer.phase("Searching far ends"):
+                            self.searcher.search_far_ends(
+                                chrom, kept, bd_regions=bd_regions)
                         for r in kept:
                             if r.up_far:
+                                g_read_stats.far_mapped += 1
                                 r.far_frag_name = r.up_far[0].chr_name
                                 r.matched_far_d = r.up_far[0].strand
                         # per-window interchromosomal pool
@@ -342,8 +355,10 @@ class Pipeline:
                             inter_sr = [copy.copy(r) for r in kept
                                         if r.up_far
                                         and r.frag_name != r.far_frag_name]
-                        self._search_svs(kept, chr_seq, window,
-                                         box_size, num_boxes, bed)
+                        with g_timer.phase(
+                                "Searching and reporting variations"):
+                            self._search_svs(kept, chr_seq, window,
+                                             box_size, num_boxes, bed)
                         if s.report_interchromosomal_events and inter_sr:
                             sort_and_report_interchromosomal_events(
                                 inter_sr, self._out("INT"))
