@@ -74,7 +74,8 @@ def main(argv=None) -> int:
     ap.add_argument("-N", "--NormalSamples", dest="normal_samples",
                     action="store_true",
                     help="germline read-depth filtering of calls")
-    ap.add_argument("--backend", choices=["numpy", "jax"], default="jax")
+    ap.add_argument("--backend", choices=["numpy", "jax", "fused"],
+                    default="fused")
     args = ap.parse_args(argv)
 
     s = Settings(

@@ -1,0 +1,691 @@
+"""Fused resident JAX/XLA search engine (TPU hot path).
+
+The legacy engine (ops/engine_jax.py) launches one kernel per search round
+(4 close-end attempts, then each far-end escalation round) and downloads a
+dense [B, 5*Lmax] stats buffer per launch.  On the axon tunnel both launch
+count and transfer bytes are expensive, so this engine restructures the
+whole per-window search into two launches:
+
+* reads are uploaded ONCE per chunk (int8 base codes + scalar metadata);
+  all query orientations (reverse, complement, reverse-complement) are
+  derived on device;
+* ``_close_kernel`` evaluates all four close-end attempts of the reference
+  schedule (GetCloseEnd, pindel.cpp:2531-2576: (range0, seq), (range0, RC),
+  (range1, RC), (range1, seq)) as four *lane groups* with per-group
+  emission statistics, and picks the first group that emits — bit-equal to
+  running the attempts sequentially because the attempts are independent
+  given the read;
+* ``_far_kernel`` evaluates all geometric far-end escalation rounds
+  (SearchFarEnd, pindel.cpp:1001-1074: span 64*4^k) in one launch, with
+  the NewUPFarIsBetter replacement rule (farend_searcher.cpp:30-44)
+  applied between rounds on device;
+* the download per read is a compact record: an emission *bitmask* over
+  lengths, the representative (lane, window-offset) at the last emitted
+  length, and a flag saying whether the whole emitted chain shares that
+  representative.  When it does (measured: ~100% of reads), the host
+  reconstructs every UniquePoint exactly — positions from the (lane, w, L)
+  geometry and mismatch counts from a vectorized recount against the
+  chromosome.  When it does not, the read falls back to the bit-exact
+  NumPy oracle (ops/search_np.py) via the Searcher.
+
+The per-length scan keeps the dense candidate semantics proven in
+ops/engine_jax.py but shrinks the carry from 13 B/candidate (two int32
+cumulatives + an int8 history ring for the strict-match window) to
+3 B/candidate: uint8 cumulative mismatches (exact while padded query
+length <= 255; int16 above), a uint8 whole-read snapshot, and a uint8
+rolling count of strict mismatches in the last ``mpm`` steps, maintained
+by re-deriving the expiring step from the tile instead of carrying a ring.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pindel_tpu import dna
+from pindel_tpu.config import MAX_READ_LENGTH
+
+U8DEAD = 255
+I16DEAD = 32000
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _b_bucket(b: int, buckets=(256, 2048, 8192)) -> int:
+    for bb in buckets:
+        if b <= bb:
+            return bb
+    return buckets[-1]
+
+
+# --------------------------------------------------------------------- scan
+def _scan_lanes(chrom, slice_start, reverse, qq, valid_w, qlen,
+                max_snp, tsec_minus, *, w: int, lmax: int,
+                g: int, nlg: int, mpm: int):
+    """Dense length-scan over candidate lanes with per-group statistics.
+
+    Shapes: slice_start/reverse/valid_w [B, NL]; qq [B, NL, lmax] with
+    NL = g * nlg; qlen/max_snp/tsec_minus [B] int32 (budgets <= 200).
+
+    Per-step statistics are collapsed into TWO packed min-reductions (the
+    naive min/count/argmax/gather formulation costs ~5 reduction passes
+    plus slow TPU gathers): key = level << S | flat_w << 1 | strict_bad.
+    The min key yields (min level, representative, its strict flag) at
+    once; the min over the remaining candidates yields the runner-up
+    level, and the uniqueness rule "exactly one candidate within
+    min+additional levels" (searcher.cpp:171-192) is equivalent to
+    runner_up_level > min(min+additional, tsec) — which also implies
+    count-at-min == 1.
+
+    Returns per-group stacked stats, each [B, G, lmax] (index = length-1):
+      min_mm  (int32, DEAD-ish when no live candidate),
+      lvl2    (int32 runner-up level),
+      rep_key (int32 flat (lane-within-group * w + w_off) of the first
+               candidate at the min level, lane-major — the order the
+               reference explores PD lists and positions),
+      rep_strict_bad (bool: strict-window violation of the representative),
+      full_mm (int32 whole-read mismatches of the representative).
+    """
+    nl = g * nlg
+    tile_len = w + lmax
+    small = lmax <= 255
+    cum_dtype = jnp.uint8 if small else jnp.int16
+    dead = U8DEAD if small else I16DEAD
+    wbits = max(int(np.ceil(np.log2(nlg * w))), 1)
+    shift = wbits + 1
+    assert shift + (8 if small else 10) <= 31, (w, nlg, lmax)
+
+    def load_tile(start, rev):
+        t = jax.lax.dynamic_slice(chrom, (start,), (tile_len,))
+        return jax.lax.select(rev, jnp.flip(t), t)
+
+    tiles = jax.vmap(jax.vmap(load_tile))(slice_start, reverse)  # [B,NL,T]
+
+    widx = jnp.arange(w, dtype=jnp.int32)
+    wvalid = widx[None, None, :] < valid_w[:, :, None]           # [B,NL,W]
+    seeded = (tiles[:, :, :w] == qq[:, :, 0:1]) & wvalid
+    seeded &= (qq[:, :, 0:1] != dna.N)
+
+    b = qq.shape[0]
+    tsec_b = tsec_minus[:, None, None].astype(cum_dtype)
+    flat_w = (jnp.arange(nl, dtype=jnp.int32)[None, :, None] % nlg * w
+              + widx[None, None, :])                             # [1,NL,W]
+    key_lo = (flat_w << 1).reshape(1, g, nlg * w)
+
+    def strict_at(l):
+        ref = jax.lax.dynamic_slice_in_dim(tiles, l, w, axis=2)
+        qb = jax.lax.dynamic_slice_in_dim(qq, l, 1, axis=2)
+        return ref, qb, (ref != qb)
+
+    def step(carry, l):
+        cum, cum_end, ws = carry
+        ref, qb, strict_mm = strict_at(l)
+        is_n = qb == dna.N
+        match = jnp.where(is_n, ref != dna.N, ref == qb)
+        first = l == 0
+        # the seed step contributes no Matches()-mismatch (candidates are
+        # seeded on equality) and no strict-window entry — mirrors the
+        # history-ring reset in the legacy kernel
+        mm_step = jnp.where(first, False, ~match).astype(cum_dtype)
+        cum = cum + mm_step
+        cum_end = jnp.where(l == qlen[:, None, None] - 1, cum, cum_end)
+        # rolling strict window: add step l, retire step l-mpm (recomputed
+        # from the tile — cheaper than carrying an mpm-deep history ring)
+        _, _, strict_old = strict_at(jnp.maximum(l - mpm, 0))
+        ws = (ws + jnp.where(first, False, strict_mm).astype(jnp.uint8)
+              - jnp.where(l - mpm >= 1, strict_old, False).astype(jnp.uint8))
+
+        lvl = jnp.where(seeded & (cum <= tsec_b), cum, cum_dtype(dead))
+        keys = ((lvl.astype(jnp.int32) << shift).reshape(b, g, nlg * w)
+                | key_lo | (ws > 0).reshape(b, g, nlg * w))
+        kmin = jnp.min(keys, axis=2)                              # [B,G]
+        k2 = jnp.min(jnp.where(keys == kmin[:, :, None],
+                               jnp.int32(2 ** 30), keys), axis=2)
+        return (cum, cum_end, ws), (kmin, k2 >> shift)
+
+    cum0 = jnp.zeros((b, nl, w), dtype=cum_dtype)
+    ws0 = jnp.zeros((b, nl, w), dtype=jnp.uint8)
+    (_, cum_end, _), outs = jax.lax.scan(
+        step, (cum0, cum0, ws0), jnp.arange(lmax, dtype=jnp.int32))
+    kmin, lvl2 = [jnp.moveaxis(o, 0, -1) for o in outs]           # [B,G,L]
+
+    min_mm = kmin >> shift
+    rep_key = (kmin >> 1) & ((1 << wbits) - 1)
+    rep_strict_bad = (kmin & 1) == 1
+    cum_g = cum_end.reshape(b, g, nlg * w).astype(jnp.int32)
+    full_mm = jnp.take_along_axis(cum_g, rep_key, axis=2)         # [B,G,L]
+    return min_mm, lvl2, rep_key, rep_strict_bad, full_mm
+
+
+def _emit_rules(min_mm, lvl2, rep_key, rep_strict_bad, full_mm,
+                reverse, qlen, max_snp, tsec_minus, maxmm, max_allowed,
+                *, w: int, lmax: int, g: int, nlg: int, mpm: int,
+                bp_start: int):
+    """Per-(group, length) emission decision (CheckLeft/Right_Close +
+    CheckBoth + CheckMismatches; see ops/search_np.py for the rule map).
+
+    reverse: [B, NL] lane tile-reversal flags (NL = g*nlg).
+    Returns emit [B,G,L] plus chain summary: rep at last emission,
+    uniformity, any-emission, index of last emission.
+    """
+    dead = U8DEAD if lmax <= 255 else I16DEAD
+    lens = jnp.arange(1, lmax + 1, dtype=jnp.int32)[None, None, :]
+    in_range = (lens >= bp_start) & (lens <= qlen[:, None, None] - 1)
+    maxmm_l = maxmm[jnp.minimum(lens, MAX_READ_LENGTH - 1)]
+    min_live = jnp.where(min_mm >= dead, jnp.int32(10 ** 6), min_mm)
+    stop_here = in_range & (min_live > maxmm_l)
+    alive = jnp.cumsum(stop_here.astype(jnp.int32), axis=2) == 0
+
+    g_dim = min_mm.shape[1]
+    # representative's reverse flag, gather-free: all lanes of a close-end
+    # group share one flag; far-end groups have few lanes (one-hot select)
+    if nlg == 1:
+        rev_rep = reverse.reshape(reverse.shape[0], g_dim, 1)
+    else:
+        rep_lane_rel = rep_key // w                               # [B,G,L]
+        rev_g = reverse.reshape(reverse.shape[0], g_dim, 1, nlg)
+        onehot = rep_lane_rel[..., None] == jnp.arange(
+            nlg, dtype=jnp.int32)
+        rev_rep = jnp.any(onehot & rev_g, axis=-1)
+    len_ok = jnp.where(rev_rep, lens >= mpm, lens > mpm)
+    bad_fit = full_mm.astype(jnp.float32) >= max_allowed[:, None, None]
+
+    # "exactly one candidate at the min level, none within min+additional
+    # levels" (searcher.cpp:171-192) == runner-up beyond min(min+add, tsec)
+    hi = jnp.minimum(min_live + (tsec_minus - max_snp)[:, None, None],
+                     tsec_minus[:, None, None])
+    unique_ok = lvl2 > hi
+
+    emit = (in_range & alive
+            & (min_live <= max_snp[:, None, None])
+            & (lens >= bp_start + min_live)
+            & unique_ok
+            & (min_live <= maxmm_l)
+            & len_ok
+            & ~rep_strict_bad
+            & bad_fit)
+
+    lidx = jnp.arange(lmax, dtype=jnp.int32)[None, None, :]
+    last = jnp.max(jnp.where(emit, lidx, -1), axis=2)             # [B,G]
+    any_emit = last >= 0
+    rep_last = jnp.take_along_axis(
+        rep_key, jnp.maximum(last, 0)[:, :, None], axis=2)[:, :, 0]
+    uniform = jnp.all(~emit | (rep_key == rep_last[:, :, None]), axis=2)
+    return emit, rep_last, uniform, any_emit, last
+
+
+def _pack_bits(emit):
+    """[..., L] bool -> [..., L/8] uint8 (little-endian within the byte)."""
+    shp = emit.shape
+    e = emit.reshape(shp[:-1] + (shp[-1] // 8, 8)).astype(jnp.uint8)
+    return (e << jnp.arange(8, dtype=jnp.uint8)).sum(
+        axis=-1, dtype=jnp.uint32).astype(jnp.uint8)
+
+
+def _complement(codes):
+    return jnp.take(jnp.asarray(dna.RC), codes.astype(jnp.int32),
+                    axis=0).astype(jnp.int8)
+
+
+def _reverse_within(codes, qlen, lmax: int):
+    """Reverse each row within its qlen; padding stays N at the tail."""
+    l = jnp.arange(lmax, dtype=jnp.int32)[None, :]
+    idx = jnp.where(l < qlen[:, None], qlen[:, None] - 1 - l, 0)
+    rev = jnp.take_along_axis(codes, idx, axis=1)
+    return jnp.where(l < qlen[:, None], rev, jnp.int8(dna.N))
+
+
+# ------------------------------------------------------------ close kernel
+@partial(jax.jit, static_argnames=("w0", "w1", "lmax", "mpm", "bp_start"))
+def _close_kernel(chrom, codes, qlen, matched_minus, win0, win1,
+                  max_snp, tsec_minus, maxmm, max_allowed,
+                  *, w0: int, w1: int, lmax: int, mpm: int, bp_start: int):
+    """All four close-end attempts in one launch.
+
+    Attempt schedule (GetCloseEnd, pindel.cpp:2531-2576): (range0, seq),
+    (range0, RC), (range1, RC), (range1, seq).  Per the lane construction
+    (close_end_lane in search.py, GetCloseEndInner pindel.cpp:2271-2316):
+    a '+'-anchored read searches a *forward* tile with the reverse
+    complement of the current sequence; a '-' read a *backward* tile with
+    the current sequence (which the tile convention reverses).  Expressed
+    in the uploaded original codes f, the device-oriented queries are:
+
+        '+' read, attempts 0..3: qq = [RC(f), f,    f,    RC(f)]
+        '-' read, attempts 0..3: qq = [R(f),  C(f), C(f), R(f)]
+
+    where R = reverse-within-qlen and C = base complement.
+    """
+    f = codes
+    cf = _complement(f)
+    rf = _reverse_within(f, qlen, lmax)
+    rcf = _reverse_within(cf, qlen, lmax)
+    mm_col = matched_minus[:, None]
+    q_orig = jnp.where(mm_col, rf, rcf)   # attempt with original sequence
+    q_flip = jnp.where(mm_col, cf, f)     # attempt with RC'd sequence
+
+    outs = []
+    # range 0 tries (orig, RC); range 1 continues the flip state: (RC, orig)
+    for (wb, win, qa, qb) in ((w0, win0, q_orig, q_flip),
+                              (w1, win1, q_flip, q_orig)):
+        start = win[:, 0]
+        end = win[:, 1]
+        ss = jnp.where(matched_minus, end - (wb + lmax), start)
+        valid = jnp.clip(end - start, 0, wb)
+        qq = jnp.stack([qa, qb], axis=1)                         # [B,2,L]
+        slice_start = jnp.stack([ss, ss], axis=1)
+        reverse = jnp.stack([matched_minus, matched_minus], axis=1)
+        valid_w = jnp.stack([valid, valid], axis=1)
+        stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
+                            qlen, max_snp, tsec_minus,
+                            w=wb, lmax=lmax, g=2, nlg=1, mpm=mpm)
+        outs.append(_emit_rules(*stats, reverse, qlen, max_snp,
+                                tsec_minus, maxmm, max_allowed,
+                                w=wb, lmax=lmax, g=2, nlg=1,
+                                mpm=mpm, bp_start=bp_start))
+
+    # group order across the two scans = attempt order 0..3
+    emit = jnp.concatenate([outs[0][0], outs[1][0]], axis=1)      # [B,4,L]
+    rep_last = jnp.concatenate([outs[0][1], outs[1][1]], axis=1)
+    uniform = jnp.concatenate([outs[0][2], outs[1][2]], axis=1)
+    any_emit = jnp.concatenate([outs[0][3], outs[1][3]], axis=1)
+
+    winner = jnp.argmax(any_emit, axis=1).astype(jnp.int32)       # first hit
+    has = jnp.any(any_emit, axis=1)
+    emit_w = jnp.take_along_axis(emit, winner[:, None, None], axis=1)[:, 0]
+    rep_w = jnp.take_along_axis(rep_last, winner[:, None], axis=1)[:, 0]
+    uni_w = jnp.take_along_axis(uniform, winner[:, None], axis=1)[:, 0]
+    return (_pack_bits(emit_w), rep_w.astype(jnp.int32),
+            jnp.where(has, winner, 255).astype(jnp.uint8), uni_w)
+
+
+# -------------------------------------------------------------- far kernel
+@partial(jax.jit, static_argnames=("ws", "lmax", "mpm", "bp_start"))
+def _far_kernel(chrom, codes, qlen, close_max, init_max,
+                wins, max_snp, tsec_minus, maxmm, max_allowed,
+                *, ws: Tuple[int, ...], lmax: int, mpm: int, bp_start: int):
+    """All geometric far-end escalation rounds in one launch.
+
+    Lane construction (far_end_lanes in search.py / SearchFarEndAtPos,
+    farend_searcher.cpp:46-103): lane 0 = forward tile with the current
+    sequence, lane 1 = backward tile with its reverse complement (which
+    the tile convention reverses back to the plain complement).  ``codes``
+    already hold the read's *current* (possibly close-end-flipped)
+    sequence.
+
+    wins: [B, R, 2] per-round (start, end); ws: static per-round buckets.
+    State between rounds follows the legacy driver (search.py): a read is
+    searched in round r iff close_max + far_max < qlen (goodFarEndFound,
+    pindel.cpp:480-483); the round result replaces the current one iff
+    new_max >= far_max (NewUPFarIsBetter, farend_searcher.cpp:30-44).
+    """
+    b = codes.shape[0]
+    q0 = codes                            # forward lane: current sequence
+    q1 = _complement(codes)               # backward lane: R(RC(cur)) = C(cur)
+
+    st_emit = jnp.zeros((b, lmax), dtype=bool)
+    st_rep = jnp.zeros((b,), dtype=jnp.int32)
+    st_uni = jnp.ones((b,), dtype=bool)
+    st_max = init_max.astype(jnp.int32)
+    st_round = jnp.full((b,), -1, dtype=jnp.int32)
+    st_replaced = jnp.zeros((b,), dtype=bool)
+
+    for r, wb in enumerate(ws):
+        start = wins[:, r, 0]
+        end = wins[:, r, 1]
+        qq = jnp.stack([q0, q1], axis=1)
+        slice_start = jnp.stack([start, end - (wb + lmax)], axis=1)
+        reverse = jnp.stack([jnp.zeros((b,), bool), jnp.ones((b,), bool)],
+                            axis=1)
+        valid = jnp.clip(end - start, 0, wb)
+        valid_w = jnp.stack([valid, valid], axis=1)
+        stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
+                            qlen, max_snp, tsec_minus,
+                            w=wb, lmax=lmax, g=1, nlg=2, mpm=mpm)
+        emit, rep_last, uniform, any_emit, last = _emit_rules(
+            *stats, reverse, qlen, max_snp, tsec_minus, maxmm, max_allowed,
+            w=wb, lmax=lmax, g=1, nlg=2, mpm=mpm, bp_start=bp_start)
+        emit = emit[:, 0]
+        rep_last = rep_last[:, 0]
+        uniform = uniform[:, 0]
+        new_max = jnp.where(any_emit[:, 0], last[:, 0] + 1, 0)
+
+        active = close_max + st_max < qlen
+        replace = active & (new_max >= st_max)
+        st_emit = jnp.where(replace[:, None], emit, st_emit)
+        st_rep = jnp.where(replace, rep_last, st_rep)
+        st_uni = jnp.where(replace, uniform, st_uni)
+        st_max = jnp.where(replace, new_max, st_max)
+        st_round = jnp.where(replace, r, st_round)
+        st_replaced = st_replaced | replace
+
+    return (_pack_bits(st_emit), st_rep, st_uni,
+            st_round.astype(jnp.int8), st_replaced)
+
+
+# --------------------------------------------------------------- host side
+def unpack_bits(bits: np.ndarray, lmax: int) -> np.ndarray:
+    """[..., L/8] uint8 -> [..., L] bool (inverse of _pack_bits)."""
+    return np.unpackbits(np.asarray(bits, dtype=np.uint8), axis=-1,
+                         bitorder="little")[..., :lmax].astype(bool)
+
+
+@dataclasses.dataclass
+class ChainDecode:
+    """One read's reconstructed anchor chain (all points share one
+    representative candidate; lengths come from the emission bitmask)."""
+
+    lengths: np.ndarray        # int64 [n]
+    abs_loc: np.ndarray        # int64 [n]
+    mm: np.ndarray             # int64 [n]
+    full_mm: int               # whole-read mismatches of the chain
+
+
+def decode_chains(chrom_codes: np.ndarray, emit_bits: np.ndarray,
+                  w_off: np.ndarray, slice_start: np.ndarray,
+                  tile_reverse: np.ndarray, queries: np.ndarray,
+                  qlen: np.ndarray, wbuck: np.ndarray, lmax: int
+                  ) -> List[Optional[ChainDecode]]:
+    """Vectorized reconstruction of uniform chains.
+
+    Inputs are per-read, already gathered for the winning attempt/round:
+    w_off is the representative's within-window offset, slice_start /
+    tile_reverse the winning lane's tile geometry, queries the
+    device-oriented qq rows ([N, lmax] int8) and wbuck the per-read
+    window bucket.  The mismatch recount reproduces the device rule
+    exactly: seed step contributes 0; Matches() semantics for N.
+    ``abs_loc`` is left empty — the caller owns the lane->coordinate map.
+    """
+    n = emit_bits.shape[0]
+    emit = unpack_bits(emit_bits, lmax)                     # [N, L]
+    out: List[Optional[ChainDecode]] = [None] * n
+    idx = np.flatnonzero(emit.any(axis=1))
+    if idx.size == 0:
+        return out
+    woff = w_off[idx].astype(np.int64)
+    ss = slice_start[idx].astype(np.int64)
+    rev = tile_reverse[idx]
+    wb = wbuck[idx].astype(np.int64)
+    ql = qlen[idx].astype(np.int64)
+    tlen = wb + lmax
+
+    # ref row step l: tile[w_off + l]; tile = chrom[ss:ss+tlen], flipped
+    # when the lane is a backward lane
+    l = np.arange(lmax, dtype=np.int64)[None, :]
+    pos = np.where(rev[:, None],
+                   ss[:, None] + tlen[:, None] - 1 - (woff[:, None] + l),
+                   ss[:, None] + woff[:, None] + l)
+    ref = chrom_codes[np.clip(pos, 0, chrom_codes.shape[0] - 1)]
+    q = queries[idx]
+    step_mm = ~dna.matches(q, ref)
+    step_mm[:, 0] = False                                   # seed step
+    step_mm &= l < ql[:, None]
+    cum = np.cumsum(step_mm, axis=1, dtype=np.int64)        # mm of q[0:l+1]
+    full = cum[np.arange(idx.size), np.maximum(ql - 1, 0)]
+
+    for k, i in enumerate(idx):
+        lens = np.flatnonzero(emit[i]) + 1                  # lengths
+        out[i] = ChainDecode(
+            lengths=lens.astype(np.int64),
+            abs_loc=np.zeros(0, np.int64),
+            mm=cum[k, lens - 1],
+            full_mm=int(full[k]))
+    return out
+
+
+class FusedJaxBackend:
+    """Per-window fused search backend.
+
+    ``close_ends``/``far_ends`` take SplitRead batches directly; the
+    legacy per-lane ``run`` API (used for BreakDancer windows and for the
+    cross-chromosome fallback plumbing) delegates to a contained legacy
+    ``JaxBackend`` sharing the chromosome device buffer.
+    """
+
+    B_BUCKETS = (256, 2048, 8192)
+
+    def __init__(self, settings, maxmm: np.ndarray, chrom_codes: np.ndarray,
+                 chrom_name: str = None):
+        from pindel_tpu.ops.engine_jax import (JaxBackend,
+                                               enable_compile_cache)
+        enable_compile_cache()
+        self.settings = settings
+        self.mpm = settings.min_perfect_match_around_bp
+        self.rate = settings.max_allowed_mismatch_rate
+        self.maxmm = np.asarray(maxmm, dtype=np.int32)
+        self.maxmm_dev = jnp.asarray(self.maxmm)
+        self.chrom_codes = np.asarray(chrom_codes)
+        self.chrom_dev = jax.device_put(jnp.asarray(chrom_codes))
+        self.chrom_name = chrom_name
+        self._legacy = JaxBackend.__new__(JaxBackend)
+        self._legacy.mpm = self.mpm
+        self._legacy.rate = self.rate
+        self._legacy.maxmm_dev = self.maxmm_dev
+        self._legacy.chrom_dev = self.chrom_dev
+        self._legacy.chrom_name = chrom_name
+        self._legacy.w_buckets = (512, 2048, 8192, 32768)
+
+    # legacy per-lane API (BreakDancer windows, odd shapes)
+    def run(self, batch_lanes, bp_start, max_snps, tsec_minus):
+        return self._legacy.run(batch_lanes, bp_start, max_snps, tsec_minus)
+
+    @staticmethod
+    def _w_bucket(width: int) -> int:
+        b = 128
+        while b < width:
+            b *= 2
+        return b
+
+    def _budgets(self, qlen: np.ndarray, nb: int):
+        ms = self.maxmm[np.minimum(qlen, MAX_READ_LENGTH - 1)].astype(
+            np.int32)
+        ms[nb:] = 0
+        tm = ms + self.settings.additional_mismatch
+        assert int(tm.max()) <= 200, "mismatch budget exceeds u8 headroom"
+        max_allowed = np.float32(qlen.astype(np.float64)
+                                 * np.float64(self.rate))
+        return ms, tm, max_allowed
+
+    # ------------------------------------------------------------- close
+    def close_ends(self, reads, bp_start: int):
+        """Run the 4-attempt close-end schedule for all reads.
+
+        Returns per read: (chain: Optional[ChainDecode], winner attempt
+        0..3 or -1, needs_fallback: bool).
+        """
+        n = len(reads)
+        results: List[Tuple[Optional[ChainDecode], int, bool]] = \
+            [(None, -1, False)] * n
+        for lo in range(0, n, self.B_BUCKETS[-1]):
+            hi = min(lo + self.B_BUCKETS[-1], n)
+            self._close_chunk(reads[lo:hi], lo, results, bp_start)
+        return results
+
+    def _close_chunk(self, reads, base: int, results, bp_start: int):
+        from pindel_tpu.genome import SPACER
+        from pindel_tpu.profiling import g_timer
+        t0 = time.monotonic()
+        nb = len(reads)
+        b = _b_bucket(nb, self.B_BUCKETS)
+        qlen = np.zeros(b, np.int32)
+        qlen[:nb] = [r.read_length for r in reads]
+        lmax = _round_up(max(int(qlen.max()), 8), 128)
+        codes = np.full((b, lmax), dna.N, np.int8)
+        minus = np.zeros(b, bool)
+        pos = np.zeros(b, np.int64)
+        isz = np.zeros(b, np.int64)
+        for i, r in enumerate(reads):
+            codes[i, :r.read_length] = r.seq_codes()
+            minus[i] = r.matched_d == "-"
+            pos[i] = r.matched_rel_pos
+            isz[i] = r.insert_size
+        ms, tm, max_allowed = self._budgets(qlen, nb)
+        # attempt windows (close_end_lane geometry, pindel.cpp:2271-2316)
+        win = np.zeros((2, b, 2), np.int64)
+        for k in (0, 1):
+            plus_start = pos + SPACER - k * isz
+            plus_end = plus_start + (2 * k + 1) * isz
+            minus_end = pos + SPACER + k * isz
+            minus_start = minus_end - (2 * k + 1) * isz
+            win[k, :, 0] = np.where(minus, minus_start, plus_start)
+            win[k, :, 1] = np.where(minus, minus_end, plus_end)
+        w0 = self._w_bucket(max(int((win[0, :, 1] - win[0, :, 0]).max()), 1))
+        w1 = self._w_bucket(max(int((win[1, :, 1] - win[1, :, 0]).max()), 1))
+        assert w1 + lmax <= SPACER, (w1, lmax)
+        win32 = win.astype(np.int32)
+
+        t1 = time.monotonic()
+        g_timer.add("fused: pack close", t1 - t0)
+        emit_bits, rep_w, winner, uniform = jax.device_get(_close_kernel(
+            self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
+            jnp.asarray(minus), jnp.asarray(win32[0]),
+            jnp.asarray(win32[1]), jnp.asarray(ms), jnp.asarray(tm),
+            self.maxmm_dev, jnp.asarray(max_allowed),
+            w0=w0, w1=w1, lmax=lmax, mpm=self.mpm, bp_start=bp_start))
+        t2 = time.monotonic()
+        g_timer.add(f"fused: close kernel+xfer w={w0}/{w1} b={b}", t2 - t1)
+
+        emit_bits = emit_bits[:nb]
+        rep_w = np.asarray(rep_w[:nb], np.int64)
+        winner = np.asarray(winner[:nb], np.int64)
+        uniform = np.asarray(uniform[:nb])
+        has = winner != 255
+
+        att_range = np.where(has, winner // 2, 0)        # attempt -> range
+        wbuck = np.where(att_range == 0, w0, w1).astype(np.int64)
+        start = win[att_range, np.arange(nb), 0]
+        end = win[att_range, np.arange(nb), 1]
+        tlen = wbuck + lmax
+        ss = np.where(minus[:nb], end - tlen, start)
+        # device-oriented query of the winning attempt
+        flip_att = (winner == 1) | (winner == 2)
+        q_dev = np.full((nb, lmax), dna.N, np.int8)
+        for i in np.flatnonzero(has):
+            qc = codes[i, :qlen[i]]
+            if minus[i]:
+                q = dna.RC[qc] if flip_att[i] else qc[::-1]
+            else:
+                q = qc if flip_att[i] else dna.revcomp(qc)
+            q_dev[i, :qlen[i]] = q
+        chains = decode_chains(self.chrom_codes, emit_bits, rep_w, ss,
+                               minus[:nb], q_dev, qlen[:nb], wbuck, lmax)
+        for i in range(nb):
+            ch = chains[i]
+            if ch is None:
+                continue
+            if not uniform[i]:
+                results[base + i] = (None, int(winner[i]), True)
+                continue
+            ll = ch.lengths
+            if minus[i]:
+                ch.abs_loc = ss[i] + tlen[i] - 1 - rep_w[i] - (ll - 1)
+            else:
+                ch.abs_loc = ss[i] + rep_w[i] + ll - 1
+            results[base + i] = (ch, int(winner[i]), False)
+        g_timer.add("fused: decode close", time.monotonic() - t2)
+
+    # --------------------------------------------------------------- far
+    def far_ends(self, reads, spans: Sequence[int], comp_size: int,
+                 bp_start: int = 10):
+        """Geometric far-end escalation for already-close-mapped reads.
+
+        spans are the per-round half-window spans (64*4^k).  Returns per
+        read: (chain | None, lane_minus, replaced, needs_fallback).
+        """
+        n = len(reads)
+        results: List[Tuple[Optional[ChainDecode], bool, bool, bool]] = \
+            [(None, False, False, False)] * n
+        for lo in range(0, n, self.B_BUCKETS[-1]):
+            hi = min(lo + self.B_BUCKETS[-1], n)
+            self._far_chunk(reads[lo:hi], lo, results, spans, comp_size,
+                            bp_start)
+        return results
+
+    def _far_chunk(self, reads, base: int, results, spans, comp_size,
+                   bp_start: int):
+        from pindel_tpu.genome import SPACER
+        from pindel_tpu.profiling import g_timer
+        t0 = time.monotonic()
+        nb = len(reads)
+        b = _b_bucket(nb, self.B_BUCKETS)
+        nr = len(spans)
+        qlen = np.zeros(b, np.int32)
+        qlen[:nb] = [r.read_length for r in reads]
+        lmax = _round_up(max(int(qlen.max()), 8), 128)
+        codes = np.full((b, lmax), dna.N, np.int8)
+        close_max = np.zeros(b, np.int32)
+        init_max = np.zeros(b, np.int32)
+        center = np.zeros(b, np.int64)
+        for i, r in enumerate(reads):
+            cod = r.seq_codes()              # current (maybe flipped) seq
+            codes[i, :cod.shape[0]] = cod
+            close_max[i] = r.max_len_close()
+            init_max[i] = r.max_len_far()
+            center[i] = r.last_abs_loc_close_end()
+        qlen[nb:] = 1                        # padding rows: never active
+        close_max[nb:] = 1
+        wins = np.zeros((b, nr, 2), np.int64)
+        ws = []
+        for k, span in enumerate(spans):
+            # window geometry: search.py search_far_ends
+            start = np.where(center > span + SPACER, center - span, SPACER)
+            end = np.minimum(center + span, comp_size - SPACER)
+            wins[:, k, 0] = start
+            wins[:, k, 1] = np.maximum(end, start)
+            ws.append(self._w_bucket(2 * span))
+        assert max(ws) + lmax <= SPACER, (ws, lmax)
+        ms, tm, max_allowed = self._budgets(qlen, nb)
+
+        t1 = time.monotonic()
+        g_timer.add("fused: pack far", t1 - t0)
+        emit_bits, rep, uni, win_round, replaced = jax.device_get(
+            _far_kernel(
+                self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
+                jnp.asarray(close_max), jnp.asarray(init_max),
+                jnp.asarray(wins.astype(np.int32)), jnp.asarray(ms),
+                jnp.asarray(tm), self.maxmm_dev, jnp.asarray(max_allowed),
+                ws=tuple(ws), lmax=lmax, mpm=self.mpm, bp_start=bp_start))
+        t2 = time.monotonic()
+        g_timer.add(f"fused: far kernel+xfer ws={tuple(ws)} b={b}", t2 - t1)
+
+        emit_bits = emit_bits[:nb]
+        rep = np.asarray(rep[:nb], np.int64)
+        uni = np.asarray(uni[:nb])
+        win_round = np.asarray(win_round[:nb], np.int64)
+        replaced = np.asarray(replaced[:nb])
+
+        rr = np.maximum(win_round, 0)
+        wbuck = np.asarray(ws, np.int64)[rr]
+        lane = rep // wbuck
+        w_off = rep % wbuck
+        start = wins[np.arange(nb), rr, 0]
+        end = wins[np.arange(nb), rr, 1]
+        tlen = wbuck + lmax
+        ss = np.where(lane == 1, end - tlen, start)
+        q_dev = np.full((nb, lmax), dna.N, np.int8)
+        for i in range(nb):
+            qc = codes[i, :qlen[i]]
+            q_dev[i, :qlen[i]] = dna.RC[qc] if lane[i] == 1 else qc
+        chains = decode_chains(self.chrom_codes, emit_bits, w_off, ss,
+                               lane == 1, q_dev, qlen[:nb], wbuck, lmax)
+        for i in range(nb):
+            if not replaced[i]:
+                continue
+            ch = chains[i]
+            if ch is not None and not uni[i]:
+                results[base + i] = (None, False, True, True)
+                continue
+            if ch is not None:
+                ll = ch.lengths
+                if lane[i] == 1:
+                    ch.abs_loc = ss[i] + tlen[i] - 1 - w_off[i] - (ll - 1)
+                else:
+                    ch.abs_loc = ss[i] + w_off[i] + ll - 1
+            results[base + i] = (ch, bool(lane[i] == 1), True, False)
+        g_timer.add("fused: decode far", time.monotonic() - t2)

@@ -454,6 +454,12 @@ def run_files(reference_fa: str, pindel_file: Optional[str],
         def factory(chrom):
             return JaxBackend(s, s.max_mismatch(), chrom.seq,
                               chrom_name=chrom.name)
+    elif backend == "fused":
+        from pindel_tpu.ops.engine_fused import FusedJaxBackend
+
+        def factory(chrom):
+            return FusedJaxBackend(s, s.max_mismatch(), chrom.seq,
+                                   chrom_name=chrom.name)
     pipe = Pipeline(s, genome, backend_factory=factory)
     pipe.create_output_files()
     if bam_config:

@@ -104,6 +104,17 @@ def far_end_lanes(read: SplitRead,
     return lanes
 
 
+def _anchorset_from_chain(chain, dir_minus: bool, strand_minus: bool,
+                          chr_name: str) -> AnchorSet:
+    """AnchorSet from a fused-engine ChainDecode (single-lane chain)."""
+    n = chain.lengths.shape[0]
+    return AnchorSet(chain.lengths, chain.abs_loc,
+                     chain.mm.astype(np.int64),
+                     np.full(n, dir_minus, dtype=bool),
+                     np.full(n, strand_minus, dtype=bool),
+                     [chr_name], np.zeros(n, dtype=np.int8))
+
+
 class Searcher:
     """Runs close- and far-end search over batches of reads."""
 
@@ -125,6 +136,39 @@ class Searcher:
     def map_close_ends(self, chrom: Chromosome,
                        reads: Sequence[SplitRead]) -> None:
         """Fill read.up_close, flipping orientation as the reference does."""
+        if hasattr(self.backend, "close_ends"):
+            self._map_close_fused(chrom, reads)
+        else:
+            self._map_close_rounds(chrom, reads, self.backend)
+
+    def _map_close_fused(self, chrom: Chromosome,
+                         reads: Sequence[SplitRead]) -> None:
+        """Fused path: all four attempts in one device launch
+        (ops/engine_fused.py); non-uniform chains rerun on the oracle."""
+        s = self.settings
+        active = [r for r in reads if r.read_length > 0]
+        for r in active:
+            r.max_snp_error = int(self.maxmm[r.read_length])
+        results = self.backend.close_ends(active, s.min_close)
+        fallback: List[SplitRead] = []
+        for r, (chain, winner, needs_fb) in zip(active, results):
+            if needs_fb:
+                fallback.append(r)       # rerun full schedule from original
+                continue
+            if winner in (1, 2):         # persistent setUnmatchedSeq flip
+                r.seq = dna.decode(dna.revcomp(r.seq_codes()))
+            if chain is not None:
+                dm = r.matched_d == MINUS
+                r.up_close = _anchorset_from_chain(chain, dm, not dm,
+                                                   chrom.name)
+                r.used = False
+                r.close_end_mismatch = chain.full_mm
+        if fallback:
+            self._map_close_rounds(chrom, fallback, self._oracle())
+
+    def _map_close_rounds(self, chrom: Chromosome,
+                          reads: Sequence[SplitRead], backend) -> None:
+        """Round-per-attempt path (one launch per schedule step)."""
         s = self.settings
         active = [r for r in reads if r.read_length > 0]
         # attempt schedule: (range_index, flip_before_attempt)
@@ -140,7 +184,7 @@ class Searcher:
             budgets = [self.budget(r) for r in active]
             for r, b in zip(active, budgets):
                 r.max_snp_error = b[0]
-            results = self.backend.run(
+            results = backend.run(
                 batch_lanes, s.min_close,
                 [b[0] for b in budgets], [b[1] for b in budgets])
             still: List[SplitRead] = []
@@ -204,6 +248,40 @@ class Searcher:
                                 [regs for _, regs in with_bd])
                 active = [r for r in active if not r.good_far_end_found()]
 
+        if hasattr(self.backend, "far_ends") and s.max_range_index <= 4:
+            self._far_geometric_fused(chrom, active)
+        else:
+            self._far_geometric(chrom, active, self.backend)
+
+    def _far_geometric_fused(self, chrom: Chromosome,
+                             active: List[SplitRead]) -> None:
+        """Fused path: all escalation rounds in one launch; non-uniform
+        chains rerun on the oracle."""
+        s = self.settings
+        spans = [64 * 4 ** k for k in range(s.max_range_index + 1)]
+        results = self.backend.far_ends(active, spans, chrom.comp_size,
+                                        bp_start=10)
+        fallback: List[SplitRead] = []
+        for r, (chain, lane_minus, replaced, needs_fb) in zip(active,
+                                                              results):
+            if needs_fb:
+                fallback.append(r)
+                continue
+            if not replaced:
+                continue
+            if chain is None:
+                r.up_far = AnchorSet.empty()
+            else:
+                r.up_far = _anchorset_from_chain(chain, lane_minus,
+                                                 lane_minus, chrom.name)
+                r.far_end_mismatch = chain.full_mm
+        if fallback:
+            self._far_geometric(chrom, fallback, self._oracle())
+
+    def _far_geometric(self, chrom: Chromosome, active: List[SplitRead],
+                       backend) -> None:
+        """Round-per-span escalation (one launch per span)."""
+        s = self.settings
         span = 64
         for _k in range(1, s.max_range_index + 2):
             if not active:
@@ -217,19 +295,27 @@ class Searcher:
                 else:
                     end = chrom.comp_size - SPACER
                 regions.append([(chrom, start, end)])
-            self._far_round(active, regions)
+            self._far_round(active, regions, backend)
             active = [r for r in active if not r.good_far_end_found()]
             span *= 4
 
+    def _oracle(self) -> "NumpyBackend":
+        if self._fallback is None:
+            self._fallback = NumpyBackend(self.settings, self.maxmm)
+        return self._fallback
+
     def _far_round(self, reads: List[SplitRead],
-                   regions: List[List[Tuple[Chromosome, int, int]]]) -> None:
+                   regions: List[List[Tuple[Chromosome, int, int]]],
+                   backend=None) -> None:
         """One batched far-end launch.  Reads whose candidate regions span
         a chromosome the device backend is not loaded with fall back to
         the exact-semantics NumPy backend."""
+        if backend is None:
+            backend = self.backend
         batch_lanes = [far_end_lanes(r, regs)
                        for r, regs in zip(reads, regions)]
         budgets = [self.budget(r) for r in reads]
-        backend_chrom = getattr(self.backend, "chrom_name", None)
+        backend_chrom = getattr(backend, "chrom_name", None)
         main_idx: List[int] = []
         fallback_idx: List[int] = []
         for i, lanes in enumerate(batch_lanes):
@@ -240,7 +326,7 @@ class Searcher:
                 main_idx.append(i)
         results: List = [None] * len(reads)
         if main_idx:
-            out = self.backend.run(
+            out = backend.run(
                 [batch_lanes[i] for i in main_idx],
                 10,  # far-end min length, farend_searcher.cpp:90
                 [budgets[i][0] for i in main_idx],
@@ -248,9 +334,7 @@ class Searcher:
             for i, res in zip(main_idx, out):
                 results[i] = res
         if fallback_idx:
-            if self._fallback is None:
-                self._fallback = NumpyBackend(self.settings, self.maxmm)
-            out = self._fallback.run(
+            out = self._oracle().run(
                 [batch_lanes[i] for i in fallback_idx], 10,
                 [budgets[i][0] for i in fallback_idx],
                 [budgets[i][1] for i in fallback_idx])

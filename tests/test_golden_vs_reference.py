@@ -70,17 +70,19 @@ def _first_diff(gold, ours):
     return [f"length differs: gold {len(g)} vs ours {len(o)} lines"]
 
 
+@pytest.mark.parametrize("backend", ["numpy", "fused"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_d_si_reports_match_reference(tmp_path, oracle, seed):
-    d, _ = run_scene(tmp_path, oracle, seed)
+def test_d_si_reports_match_reference(tmp_path, oracle, seed, backend):
+    d, _ = run_scene(tmp_path, oracle, seed, backend=backend)
     assert_identical(d, ["CloseEndMapped", "D", "SI", "TD", "INV"])
     # scenes must actually produce events
     assert "ChrID" in open(os.path.join(d, "gold_D")).read()
 
 
+@pytest.mark.parametrize("backend", ["numpy", "fused"])
 @pytest.mark.parametrize("seed", [10, 11])
-def test_inv_td_heavy_scene(tmp_path, oracle, seed):
-    d, _ = run_scene(tmp_path, oracle, seed,
+def test_inv_td_heavy_scene(tmp_path, oracle, seed, backend):
+    d, _ = run_scene(tmp_path, oracle, seed, backend=backend,
                      kinds=["INV", "TD", "INV", "TD", "INV", "TD", "DI"],
                      chrom_len=80_000, reads_per_event=10)
     assert_identical(d, ["CloseEndMapped", "D", "SI", "TD", "INV"])
@@ -88,9 +90,10 @@ def test_inv_td_heavy_scene(tmp_path, oracle, seed):
     assert "ChrID" in open(os.path.join(d, "gold_TD")).read()
 
 
+@pytest.mark.parametrize("backend", ["numpy", "fused"])
 @pytest.mark.parametrize("seed", [20, 21])
-def test_li_scene(tmp_path, oracle, seed):
-    d, _ = run_scene(tmp_path, oracle, seed, extra=["-l"],
+def test_li_scene(tmp_path, oracle, seed, backend):
+    d, _ = run_scene(tmp_path, oracle, seed, extra=["-l"], backend=backend,
                      kinds=["LI", "DEL", "LI", "SI", "LI"],
                      chrom_len=60_000, reads_per_event=10)
     assert_identical(d, ["CloseEndMapped", "D", "SI", "TD", "INV",
