@@ -51,7 +51,7 @@ from pindel_tpu import dna
 from pindel_tpu.config import MAX_READ_LENGTH
 
 U8DEAD = 255
-I16DEAD = 32000
+I16DEAD = 1000   # > max possible cum (lmax <= 512); keeps key in int32
 
 
 def _round_up(x: int, m: int) -> int:
@@ -67,40 +67,41 @@ def _b_bucket(b: int, buckets=(256, 2048, 8192)) -> int:
 
 # --------------------------------------------------------------------- scan
 def _scan_lanes(chrom, slice_start, reverse, qq, valid_w, qlen,
-                max_snp, tsec_minus, *, w: int, lmax: int,
+                max_snp, tsec_minus, thr, *, w: int, lmax: int,
                 g: int, nlg: int, mpm: int):
     """Dense length-scan over candidate lanes with per-group statistics.
 
     Shapes: slice_start/reverse/valid_w [B, NL]; qq [B, NL, lmax] with
-    NL = g * nlg; qlen/max_snp/tsec_minus [B] int32 (budgets <= 200).
+    NL = g * nlg; qlen/max_snp/tsec_minus/thr [B] int32 (budgets <= 200;
+    thr is the integer whole-read mismatch threshold equivalent to
+    CheckMismatches' float comparison, searcher.cpp:383-387).
 
-    Per-step statistics are collapsed into TWO packed min-reductions (the
-    naive min/count/argmax/gather formulation costs ~5 reduction passes
-    plus slow TPU gathers): key = level << S | flat_w << 1 | strict_bad.
-    The min key yields (min level, representative, its strict flag) at
-    once; the min over the remaining candidates yields the runner-up
-    level, and the uniqueness rule "exactly one candidate within
-    min+additional levels" (searcher.cpp:171-192) is equivalent to
-    runner_up_level > min(min+additional, tsec) — which also implies
-    count-at-min == 1.
+    Two passes over the tile: pass 1 accumulates the whole-read mismatch
+    count per candidate, turning the fit rule into a per-candidate bit;
+    pass 2 packs (level, flat_w, strict_bad, bad_fit) into ONE int32 key
+    whose min over the window yields the min level, the representative
+    and its flags at once, while the min over the remaining candidates
+    yields the runner-up level — the uniqueness rule "exactly one
+    candidate within min+additional levels" (searcher.cpp:171-192) is
+    equivalent to runner_up > min(min+additional, tsec) and implies
+    count-at-min == 1.  This replaces ~5 reduction passes + TPU gathers
+    per step with 2 min-reductions.
+
+    On TPU the two passes run as a Pallas kernel with the carry resident
+    in VMEM (_pallas_scan_rows); elsewhere as a lax.scan.
 
     Returns per-group stacked stats, each [B, G, lmax] (index = length-1):
-      min_mm  (int32, DEAD-ish when no live candidate),
+      min_mm  (int32, >= DEAD when no live candidate),
       lvl2    (int32 runner-up level),
       rep_key (int32 flat (lane-within-group * w + w_off) of the first
                candidate at the min level, lane-major — the order the
                reference explores PD lists and positions),
       rep_strict_bad (bool: strict-window violation of the representative),
-      full_mm (int32 whole-read mismatches of the representative).
+      fit_ok  (bool: representative passes the whole-read fit rule).
     """
     nl = g * nlg
     tile_len = w + lmax
-    small = lmax <= 255
-    cum_dtype = jnp.uint8 if small else jnp.int16
-    dead = U8DEAD if small else I16DEAD
-    wbits = max(int(np.ceil(np.log2(nlg * w))), 1)
-    shift = wbits + 1
-    assert shift + (8 if small else 10) <= 31, (w, nlg, lmax)
+    b = qq.shape[0]
 
     def load_tile(start, rev):
         t = jax.lax.dynamic_slice(chrom, (start,), (tile_len,))
@@ -108,64 +109,126 @@ def _scan_lanes(chrom, slice_start, reverse, qq, valid_w, qlen,
 
     tiles = jax.vmap(jax.vmap(load_tile))(slice_start, reverse)  # [B,NL,T]
 
+    rows = b * nl
+    kmin, k2 = _scan_rows(
+        tiles.reshape(rows, tile_len), qq.reshape(rows, lmax),
+        valid_w.reshape(rows),
+        jnp.repeat(qlen, nl), jnp.repeat(tsec_minus, nl),
+        jnp.repeat(thr, nl), w=w, lmax=lmax, mpm=mpm)
+    kmin = kmin.reshape(b, g, nlg, lmax)
+    k2 = k2.reshape(b, g, nlg, lmax)
+
+    shift = _key_shift(w)
+    if nlg == 1:
+        kmin_g = kmin[:, :, 0]
+        lvl2 = k2[:, :, 0] >> shift
+    else:
+        # lane-major merge within each group: candidates of lane j rank
+        # after equal-level candidates of lane i<j (PD exploration order)
+        lvl_l = kmin >> shift                       # [B,G,NLg,L]
+        kmin_g = kmin[:, :, 0]
+        lvl2_g = k2[:, :, 0] >> shift
+        lane_of = jnp.zeros(kmin_g.shape, jnp.int32)
+        for j in range(1, nlg):
+            lj = lvl_l[:, :, j]
+            better = lj < (kmin_g >> shift)
+            lvl2_g = jnp.where(better,
+                               jnp.minimum(k2[:, :, j] >> shift,
+                                           kmin_g >> shift),
+                               jnp.minimum(lvl2_g, lj))
+            lane_of = jnp.where(better, j, lane_of)
+            kmin_g = jnp.where(better, kmin[:, :, j], kmin_g)
+        lvl2 = lvl2_g
+    min_mm = kmin_g >> shift
+    rep_w = (kmin_g >> 2) & ((1 << (shift - 2)) - 1)
+    rep_key = rep_w if nlg == 1 else lane_of * w + rep_w
+    rep_strict_bad = (kmin_g & 2) == 2
+    fit_ok = (kmin_g & 1) == 0
+    return min_mm, lvl2, rep_key, rep_strict_bad, fit_ok
+
+
+def _key_shift(w: int) -> int:
+    wbits = max(int(np.ceil(np.log2(w))), 1)
+    return wbits + 2
+
+
+def _scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+               *, w: int, lmax: int, mpm: int):
+    """Per-row packed-key scan: [R, T] tiles -> kmin/k2 [R, lmax] int32."""
+    if jax.default_backend() == "tpu":
+        return _pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+                                 w=w, lmax=lmax, mpm=mpm)
+    return _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+                          w=w, lmax=lmax, mpm=mpm)
+
+
+def _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+                   *, w: int, lmax: int, mpm: int):
+    small = lmax <= 255
+    cum_dtype = jnp.uint8 if small else jnp.int16
+    dead = U8DEAD if small else I16DEAD
+    shift = _key_shift(w)
+    assert shift + (8 if small else 10) <= 31, (w, lmax)
+    r = tiles.shape[0]
+
     widx = jnp.arange(w, dtype=jnp.int32)
-    wvalid = widx[None, None, :] < valid_w[:, :, None]           # [B,NL,W]
-    seeded = (tiles[:, :, :w] == qq[:, :, 0:1]) & wvalid
-    seeded &= (qq[:, :, 0:1] != dna.N)
+    seeded = (tiles[:, :w] == qq[:, 0:1]) & (widx[None, :] < valid_w[:, None])
+    seeded &= (qq[:, 0:1] != dna.N)
+    tsec_b = tsec_minus[:, None].astype(cum_dtype)
+    key_w = widx[None, :] << 2
 
-    b = qq.shape[0]
-    tsec_b = tsec_minus[:, None, None].astype(cum_dtype)
-    flat_w = (jnp.arange(nl, dtype=jnp.int32)[None, :, None] % nlg * w
-              + widx[None, None, :])                             # [1,NL,W]
-    key_lo = (flat_w << 1).reshape(1, g, nlg * w)
-
-    def strict_at(l):
-        ref = jax.lax.dynamic_slice_in_dim(tiles, l, w, axis=2)
-        qb = jax.lax.dynamic_slice_in_dim(qq, l, 1, axis=2)
-        return ref, qb, (ref != qb)
-
-    def step(carry, l):
-        cum, cum_end, ws = carry
-        ref, qb, strict_mm = strict_at(l)
+    def step_mm(l):
+        ref = jax.lax.dynamic_slice_in_dim(tiles, l, w, axis=1)
+        qb = jax.lax.dynamic_slice_in_dim(qq, l, 1, axis=1)
         is_n = qb == dna.N
         match = jnp.where(is_n, ref != dna.N, ref == qb)
+        return ref, qb, ~match, ref != qb
+
+    # pass 1: whole-read mismatches -> per-candidate bad-fit bit
+    def body1(carry, l):
+        _, _, mm, _ = step_mm(l)
+        inc = jnp.where((l >= 1) & (l < qlen[:, None]), mm, False)
+        return carry + inc.astype(cum_dtype), None
+    cum_end, _ = jax.lax.scan(body1, jnp.zeros((r, w), cum_dtype),
+                              jnp.arange(lmax, dtype=jnp.int32))
+    badfit = (cum_end.astype(jnp.int32) < thr[:, None]).astype(jnp.int32)
+
+    # pass 2: packed-key stats per length
+    def body2(carry, l):
+        cum, ws = carry
+        _, _, mm, strict_mm = step_mm(l)
         first = l == 0
-        # the seed step contributes no Matches()-mismatch (candidates are
-        # seeded on equality) and no strict-window entry — mirrors the
-        # history-ring reset in the legacy kernel
-        mm_step = jnp.where(first, False, ~match).astype(cum_dtype)
-        cum = cum + mm_step
-        cum_end = jnp.where(l == qlen[:, None, None] - 1, cum, cum_end)
-        # rolling strict window: add step l, retire step l-mpm (recomputed
-        # from the tile — cheaper than carrying an mpm-deep history ring)
-        _, _, strict_old = strict_at(jnp.maximum(l - mpm, 0))
+        cum = cum + jnp.where(first, False, mm).astype(cum_dtype)
+        # rolling strict window: retire the step that falls out (recompute
+        # from the tile instead of carrying an mpm-deep history ring)
+        _, _, _, strict_old = step_mm(jnp.maximum(l - mpm, 0))
         ws = (ws + jnp.where(first, False, strict_mm).astype(jnp.uint8)
               - jnp.where(l - mpm >= 1, strict_old, False).astype(jnp.uint8))
-
         lvl = jnp.where(seeded & (cum <= tsec_b), cum, cum_dtype(dead))
-        keys = ((lvl.astype(jnp.int32) << shift).reshape(b, g, nlg * w)
-                | key_lo | (ws > 0).reshape(b, g, nlg * w))
-        kmin = jnp.min(keys, axis=2)                              # [B,G]
-        k2 = jnp.min(jnp.where(keys == kmin[:, :, None],
-                               jnp.int32(2 ** 30), keys), axis=2)
-        return (cum, cum_end, ws), (kmin, k2 >> shift)
+        keys = ((lvl.astype(jnp.int32) << shift) | key_w
+                | ((ws > 0).astype(jnp.int32) << 1) | badfit)
+        kmin = jnp.min(keys, axis=1)
+        k2 = jnp.min(jnp.where(keys == kmin[:, None],
+                               jnp.int32(2 ** 30), keys), axis=1)
+        return (cum, ws), (kmin, k2)
 
-    cum0 = jnp.zeros((b, nl, w), dtype=cum_dtype)
-    ws0 = jnp.zeros((b, nl, w), dtype=jnp.uint8)
-    (_, cum_end, _), outs = jax.lax.scan(
-        step, (cum0, cum0, ws0), jnp.arange(lmax, dtype=jnp.int32))
-    kmin, lvl2 = [jnp.moveaxis(o, 0, -1) for o in outs]           # [B,G,L]
-
-    min_mm = kmin >> shift
-    rep_key = (kmin >> 1) & ((1 << wbits) - 1)
-    rep_strict_bad = (kmin & 1) == 1
-    cum_g = cum_end.reshape(b, g, nlg * w).astype(jnp.int32)
-    full_mm = jnp.take_along_axis(cum_g, rep_key, axis=2)         # [B,G,L]
-    return min_mm, lvl2, rep_key, rep_strict_bad, full_mm
+    z = jnp.zeros((r, w), cum_dtype)
+    zu = jnp.zeros((r, w), jnp.uint8)
+    _, (kmin, k2) = jax.lax.scan(body2, (z, zu),
+                                 jnp.arange(lmax, dtype=jnp.int32))
+    return jnp.moveaxis(kmin, 0, 1), jnp.moveaxis(k2, 0, 1)
 
 
-def _emit_rules(min_mm, lvl2, rep_key, rep_strict_bad, full_mm,
-                reverse, qlen, max_snp, tsec_minus, maxmm, max_allowed,
+def _pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+                      *, w: int, lmax: int, mpm: int):
+    """Pallas TPU kernel: both passes with the carry resident in VMEM."""
+    from pindel_tpu.ops.pallas_scan import pallas_scan_rows
+    return pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+                            w=w, lmax=lmax, mpm=mpm)
+
+
+def _emit_rules(min_mm, lvl2, rep_key, rep_strict_bad, fit_ok,
+                reverse, qlen, max_snp, tsec_minus, maxmm,
                 *, w: int, lmax: int, g: int, nlg: int, mpm: int,
                 bp_start: int):
     """Per-(group, length) emission decision (CheckLeft/Right_Close +
@@ -195,7 +258,6 @@ def _emit_rules(min_mm, lvl2, rep_key, rep_strict_bad, full_mm,
             nlg, dtype=jnp.int32)
         rev_rep = jnp.any(onehot & rev_g, axis=-1)
     len_ok = jnp.where(rev_rep, lens >= mpm, lens > mpm)
-    bad_fit = full_mm.astype(jnp.float32) >= max_allowed[:, None, None]
 
     # "exactly one candidate at the min level, none within min+additional
     # levels" (searcher.cpp:171-192) == runner-up beyond min(min+add, tsec)
@@ -210,7 +272,7 @@ def _emit_rules(min_mm, lvl2, rep_key, rep_strict_bad, full_mm,
             & (min_live <= maxmm_l)
             & len_ok
             & ~rep_strict_bad
-            & bad_fit)
+            & fit_ok)
 
     lidx = jnp.arange(lmax, dtype=jnp.int32)[None, None, :]
     last = jnp.max(jnp.where(emit, lidx, -1), axis=2)             # [B,G]
@@ -245,7 +307,7 @@ def _reverse_within(codes, qlen, lmax: int):
 # ------------------------------------------------------------ close kernel
 @partial(jax.jit, static_argnames=("w0", "w1", "lmax", "mpm", "bp_start"))
 def _close_kernel(chrom, codes, qlen, matched_minus, win0, win1,
-                  max_snp, tsec_minus, maxmm, max_allowed,
+                  max_snp, tsec_minus, maxmm, thr,
                   *, w0: int, w1: int, lmax: int, mpm: int, bp_start: int):
     """All four close-end attempts in one launch.
 
@@ -283,10 +345,10 @@ def _close_kernel(chrom, codes, qlen, matched_minus, win0, win1,
         reverse = jnp.stack([matched_minus, matched_minus], axis=1)
         valid_w = jnp.stack([valid, valid], axis=1)
         stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
-                            qlen, max_snp, tsec_minus,
+                            qlen, max_snp, tsec_minus, thr,
                             w=wb, lmax=lmax, g=2, nlg=1, mpm=mpm)
         outs.append(_emit_rules(*stats, reverse, qlen, max_snp,
-                                tsec_minus, maxmm, max_allowed,
+                                tsec_minus, maxmm,
                                 w=wb, lmax=lmax, g=2, nlg=1,
                                 mpm=mpm, bp_start=bp_start))
 
@@ -308,7 +370,7 @@ def _close_kernel(chrom, codes, qlen, matched_minus, win0, win1,
 # -------------------------------------------------------------- far kernel
 @partial(jax.jit, static_argnames=("ws", "lmax", "mpm", "bp_start"))
 def _far_kernel(chrom, codes, qlen, close_max, init_max,
-                wins, max_snp, tsec_minus, maxmm, max_allowed,
+                wins, max_snp, tsec_minus, maxmm, thr,
                 *, ws: Tuple[int, ...], lmax: int, mpm: int, bp_start: int):
     """All geometric far-end escalation rounds in one launch.
 
@@ -346,10 +408,10 @@ def _far_kernel(chrom, codes, qlen, close_max, init_max,
         valid = jnp.clip(end - start, 0, wb)
         valid_w = jnp.stack([valid, valid], axis=1)
         stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
-                            qlen, max_snp, tsec_minus,
+                            qlen, max_snp, tsec_minus, thr,
                             w=wb, lmax=lmax, g=1, nlg=2, mpm=mpm)
         emit, rep_last, uniform, any_emit, last = _emit_rules(
-            *stats, reverse, qlen, max_snp, tsec_minus, maxmm, max_allowed,
+            *stats, reverse, qlen, max_snp, tsec_minus, maxmm,
             w=wb, lmax=lmax, g=1, nlg=2, mpm=mpm, bp_start=bp_start)
         emit = emit[:, 0]
         rep_last = rep_last[:, 0]
@@ -488,9 +550,12 @@ class FusedJaxBackend:
         ms[nb:] = 0
         tm = ms + self.settings.additional_mismatch
         assert int(tm.max()) <= 200, "mismatch budget exceeds u8 headroom"
-        max_allowed = np.float32(qlen.astype(np.float64)
-                                 * np.float64(self.rate))
-        return ms, tm, max_allowed
+        # integer threshold equivalent to CheckMismatches' float compare
+        # (searcher.cpp:383-387): float32(k) >= float32(n*rate), with k
+        # integral and < 2^24, holds iff k >= ceil(float32(n*rate))
+        ma = np.float32(qlen.astype(np.float64) * np.float64(self.rate))
+        thr = np.ceil(ma).astype(np.int32)
+        return ms, tm, thr
 
     # ------------------------------------------------------------- close
     def close_ends(self, reads, bp_start: int):
@@ -525,7 +590,7 @@ class FusedJaxBackend:
             minus[i] = r.matched_d == "-"
             pos[i] = r.matched_rel_pos
             isz[i] = r.insert_size
-        ms, tm, max_allowed = self._budgets(qlen, nb)
+        ms, tm, thr = self._budgets(qlen, nb)
         # attempt windows (close_end_lane geometry, pindel.cpp:2271-2316)
         win = np.zeros((2, b, 2), np.int64)
         for k in (0, 1):
@@ -546,7 +611,7 @@ class FusedJaxBackend:
             self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
             jnp.asarray(minus), jnp.asarray(win32[0]),
             jnp.asarray(win32[1]), jnp.asarray(ms), jnp.asarray(tm),
-            self.maxmm_dev, jnp.asarray(max_allowed),
+            self.maxmm_dev, jnp.asarray(thr),
             w0=w0, w1=w1, lmax=lmax, mpm=self.mpm, bp_start=bp_start))
         t2 = time.monotonic()
         g_timer.add(f"fused: close kernel+xfer w={w0}/{w1} b={b}", t2 - t1)
@@ -640,7 +705,7 @@ class FusedJaxBackend:
             wins[:, k, 1] = np.maximum(end, start)
             ws.append(self._w_bucket(2 * span))
         assert max(ws) + lmax <= SPACER, (ws, lmax)
-        ms, tm, max_allowed = self._budgets(qlen, nb)
+        ms, tm, thr = self._budgets(qlen, nb)
 
         t1 = time.monotonic()
         g_timer.add("fused: pack far", t1 - t0)
@@ -649,7 +714,7 @@ class FusedJaxBackend:
                 self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
                 jnp.asarray(close_max), jnp.asarray(init_max),
                 jnp.asarray(wins.astype(np.int32)), jnp.asarray(ms),
-                jnp.asarray(tm), self.maxmm_dev, jnp.asarray(max_allowed),
+                jnp.asarray(tm), self.maxmm_dev, jnp.asarray(thr),
                 ws=tuple(ws), lmax=lmax, mpm=self.mpm, bp_start=bp_start))
         t2 = time.monotonic()
         g_timer.add(f"fused: far kernel+xfer ws={tuple(ws)} b={b}", t2 - t1)

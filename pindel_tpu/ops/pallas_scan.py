@@ -1,0 +1,198 @@
+"""Pallas TPU kernel for the pattern-growth length-scan.
+
+This is the innermost hot loop of the whole framework — the dense
+reformulation of the reference recursion (CategorizePositions,
+searcher.cpp:48-63, and the CheckLeft/Right_Close / CheckBoth emission
+statistics).  The XLA lax.scan formulation (_xla_scan_rows in
+engine_fused.py) round-trips the [rows, W] carry through HBM on every
+length step and materializes relayouts; this kernel keeps the carry
+resident in VMEM for the whole scan, so each step is pure VPU work over
+an on-chip block.
+
+Mosaic cannot index the lane dimension at arbitrary dynamic offsets
+("index must be a multiple of 128"), so instead of slicing the tile at
+step l the kernel keeps a working copy that it ROLLS left by one lane
+per step (constant shift): ``work[:, :W]`` is then always the current
+step's reference window and ``qwork[:, :1]`` the current query base.
+The strict-match window is maintained with a small ring buffer of the
+last ``mpm`` per-step strict-mismatch vectors (leading-dim dynamic
+indexing is untiled and allowed), and per-step outputs are accumulated
+with one-hot selects instead of dynamic stores.
+
+Per block of BM candidate rows:
+
+  pass 1: accumulate whole-read mismatches per candidate -> the
+          CheckMismatches whole-read-fit rule becomes one bit;
+  pass 2: per length step, update the cumulative mismatch count and the
+          rolling strict-window count, pack (level, w, strict, badfit)
+          into one int32 key and take two lane-reductions: the min key
+          (level, representative and flags of the first candidate at the
+          min level) and the min over the rest (runner-up level for the
+          uniqueness rule).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pindel_tpu import dna
+
+BM = 128          # rows per grid cell (VMEM-bound at w=2048)
+BIG = 2 ** 30
+
+
+def _kernel(tiles_ref, qq_ref, meta_ref, kmin_ref, k2_ref,
+            work_ref, qwork_ref, cum_ref, ws_ref, seed_ref, fit_ref,
+            ring_ref,
+            *, w: int, lmax: int, mpm: int, shift: int, dead: int):
+    bm = BM
+    vw = meta_ref[:, 0:1]
+    qlen = meta_ref[:, 1:2]
+    tsec = meta_ref[:, 2:3]
+    thr = meta_ref[:, 3:4]
+    widx = jax.lax.broadcasted_iota(jnp.int32, (bm, w), 1)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (bm, lmax), 1)
+    # all compute in int32: v5e vregs have no native i8 compare/rotate
+    work_ref[:] = tiles_ref[:].astype(jnp.int32)
+    qwork_ref[:] = qq_ref[:].astype(jnp.int32)
+    q0 = qwork_ref[:, 0:1]
+    seed_ref[:] = ((work_ref[:, :w] == q0).astype(jnp.int32)
+                   * (widx < vw).astype(jnp.int32)
+                   * (q0 != dna.N).astype(jnp.int32))
+
+    def current(l):
+        """(Matches()-mismatch, strict mismatch) as {0,1} int32.
+
+        Matches() rule: q==N matches iff ref!=N, else ref==q — so the
+        mismatch indicator is (ref != q) XOR (q == N), avoiding a
+        boolean select (mosaic rejects i1-select broadcasts).
+        """
+        ref = work_ref[:, :w]
+        qb = qwork_ref[:, 0:1]
+        mm = ((ref != qb).astype(jnp.int32)
+              ^ (qb == dna.N).astype(jnp.int32))
+        strict = (ref != qb).astype(jnp.int32) * (l > 0).astype(jnp.int32)
+        return mm, strict
+
+    def advance():
+        # left-rotate by one lane (pltpu.roll requires non-negative shift)
+        work_ref[:] = pltpu.roll(work_ref[:], work_ref.shape[1] - 1, 1)
+        qwork_ref[:] = pltpu.roll(qwork_ref[:], lmax - 1, 1)
+
+    # ---- pass 1: whole-read mismatch count -> bad-fit bit
+    cum_ref[:] = jnp.zeros((bm, w), jnp.int32)
+
+    def body1(l, _):
+        mm, _ = current(l)
+        gate = ((l >= 1) & (l < qlen)).astype(jnp.int32)    # [bm,1]
+        cum_ref[:] = cum_ref[:] + mm * gate
+        advance()
+        return 0
+
+    jax.lax.fori_loop(0, lmax, body1, 0)
+    fit_ref[:] = (cum_ref[:] < thr).astype(jnp.int32)      # badfit bit
+
+    # ---- pass 2: per-length packed-key statistics
+    work_ref[:] = tiles_ref[:].astype(jnp.int32)
+    qwork_ref[:] = qq_ref[:].astype(jnp.int32)
+    cum_ref[:] = jnp.zeros((bm, w), jnp.int32)
+    ws_ref[:] = jnp.zeros((bm, w), jnp.int32)
+    ring_ref[:] = jnp.zeros((mpm, bm, w), jnp.int32)
+    kmin_ref[:] = jnp.zeros((bm, lmax), jnp.int32)
+    k2_ref[:] = jnp.zeros((bm, lmax), jnp.int32)
+
+    def body2(l, _):
+        mm, strict = current(l)
+        cum_ref[:] = cum_ref[:] + mm * (l > 0).astype(jnp.int32)
+        # rolling strict window over the last mpm steps via a ring buffer
+        slot = l % mpm
+        ws_ref[:] = ws_ref[:] + strict - ring_ref[slot]
+        ring_ref[slot] = strict
+        cum = cum_ref[:]
+        live = seed_ref[:] * (cum <= tsec).astype(jnp.int32)
+        lvl = cum * live + jnp.int32(dead) * (1 - live)
+        key = ((lvl << shift)
+               | ((ws_ref[:] > 0).astype(jnp.int32) << 1)
+               | (widx << 2) | fit_ref[:])
+        kmin = jnp.min(key, axis=1, keepdims=True)          # [bm,1]
+        k2 = jnp.min(key + (key == kmin).astype(jnp.int32) * jnp.int32(BIG),
+                     axis=1, keepdims=True)
+        # one-hot column accumulate (no dynamic lane stores on TPU)
+        at_l = (lidx == l).astype(jnp.int32)
+        kmin_ref[:] = kmin * at_l + kmin_ref[:] * (1 - at_l)
+        k2_ref[:] = k2 * at_l + k2_ref[:] * (1 - at_l)
+        advance()
+        return 0
+
+    jax.lax.fori_loop(0, lmax, body2, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w", "lmax", "mpm", "interpret"))
+def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+                     *, w: int, lmax: int, mpm: int,
+                     interpret: bool = False):
+    """[R, T] int8 tiles -> (kmin, k2) [R, lmax] int32 (see engine_fused).
+
+    Rows are padded to a BM multiple with valid_w = 0 (no seeds, so their
+    stats are dead and the caller slices them away).
+    """
+    from pindel_tpu.ops.engine_fused import I16DEAD, U8DEAD, _key_shift
+    r, t = tiles.shape
+    assert t == w + lmax, (t, w, lmax)
+    shift = _key_shift(w)
+    dead = U8DEAD if lmax <= 255 else I16DEAD
+    assert (dead << shift) < 2 ** 31, (w, lmax)
+
+    rp = ((r + BM - 1) // BM) * BM
+    if rp != r:
+        pad = rp - r
+        tiles = jnp.pad(tiles, ((0, pad), (0, 0)))
+        qq = jnp.pad(qq, ((0, pad), (0, 0)))
+        valid_w = jnp.pad(valid_w, (0, pad))
+        qlen = jnp.pad(qlen, (0, pad), constant_values=1)
+        tsec_minus = jnp.pad(tsec_minus, (0, pad))
+        thr = jnp.pad(thr, (0, pad))
+    meta = jnp.stack([valid_w, qlen, tsec_minus, thr], axis=1)  # [R,4]
+    meta = jnp.pad(meta.astype(jnp.int32), ((0, 0), (0, 124)))  # lane-tile
+
+    grid = (rp // BM,)
+    kern = functools.partial(_kernel, w=w, lmax=lmax, mpm=mpm,
+                             shift=shift, dead=dead)
+    kmin, k2 = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BM, t), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, lmax), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BM, lmax), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, lmax), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, lmax), jnp.int32),
+            jax.ShapeDtypeStruct((rp, lmax), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BM, t), jnp.int32),       # rolling tile copy
+            pltpu.VMEM((BM, lmax), jnp.int32),    # rolling query copy
+            pltpu.VMEM((BM, w), jnp.int32),       # cum
+            pltpu.VMEM((BM, w), jnp.int32),       # strict-window count
+            pltpu.VMEM((BM, w), jnp.int32),       # seeded
+            pltpu.VMEM((BM, w), jnp.int32),       # badfit bit
+            pltpu.VMEM((mpm, BM, w), jnp.int32),  # strict history ring
+        ],
+        interpret=interpret,
+    )(tiles, qq, meta)
+    return kmin[:r], k2[:r]
