@@ -19,6 +19,11 @@ def main(argv=None) -> int:
                     "(pindel-compatible)")
     ap.add_argument("-f", "--fasta", required=True)
     ap.add_argument("-p", "--pindel-file", default=None)
+    ap.add_argument("-P", "--pindel-config-file", dest="pindel_config",
+                    default=None,
+                    help="config file naming one pindel file per line "
+                         "(reference readPindelConfigFile, "
+                         "pindel.cpp:705-738)")
     ap.add_argument("-i", "--config", default=None,
                     help="bam config: one '<bam> <insert size> <tag>' "
                          "per line")
@@ -122,7 +127,8 @@ def main(argv=None) -> int:
         return run_dd_files(args.fasta, args.config, args.output_prefix,
                             settings=s, backend=args.backend)
     run_files(args.fasta, args.pindel_file, args.output_prefix,
-              settings=s, backend=args.backend, bam_config=args.config)
+              settings=s, backend=args.backend, bam_config=args.config,
+              pindel_config=args.pindel_config)
     return 0
 
 

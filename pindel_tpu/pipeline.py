@@ -142,6 +142,30 @@ class Pipeline:
     def load_pindel_input(self, path: str) -> None:
         self.input_reads = list(read_pindel_file(path))
 
+    def load_pindel_config(self, path: str) -> None:
+        """-P: config file naming one pindel file per line (first token;
+        rest of the line ignored).  Reference readPindelConfigFile
+        (pindel.cpp:705-738); per window the files are consumed in config
+        order (reader.cpp:1469-1479), which list concatenation preserves.
+        """
+        import os
+        files: List[str] = []
+        with open(path) as fh:
+            for line in fh:
+                toks = line.split()
+                if not toks:
+                    continue
+                if not os.path.exists(toks[0]):
+                    raise FileNotFoundError(
+                        f"I cannot find the file '{toks[0]}' referred to in "
+                        f"configuration file '{path}'")
+                files.append(toks[0])
+        if not files:
+            raise ValueError(f"no samples in pindel config file '{path}'")
+        self.input_reads = []
+        for f in files:
+            self.input_reads.extend(read_pindel_file(f))
+
     def load_bam_config(self, path: str) -> None:
         """-i: bam config; sample tags enter g_sampleNames at init
         (reference readBamConfigFile, pindel.cpp:659-692)."""
@@ -439,12 +463,14 @@ class Pipeline:
 def run_files(reference_fa: str, pindel_file: Optional[str],
               output_prefix: str, settings: Optional[Settings] = None,
               backend: str = "numpy",
-              bam_config: Optional[str] = None) -> Settings:
-    """Convenience entry: -f/-p|-i/-o equivalent."""
+              bam_config: Optional[str] = None,
+              pindel_config: Optional[str] = None) -> Settings:
+    """Convenience entry: -f/-p|-i|-P/-o equivalent."""
     s = settings or Settings()
     s.reference_filename = reference_fa
     s.pindel_filename = pindel_file or ""
     s.bam_config_filename = bam_config or ""
+    s.pindel_config_filename = pindel_config or ""
     s.output_prefix = output_prefix
     genome = Genome.from_fasta(reference_fa)
     factory = None
@@ -464,10 +490,13 @@ def run_files(reference_fa: str, pindel_file: Optional[str],
     pipe.create_output_files()
     if bam_config:
         pipe.load_bam_config(bam_config)
+    elif pindel_config:
+        pipe.load_pindel_config(pindel_config)
     elif pindel_file:
         pipe.load_pindel_input(pindel_file)
     else:
-        raise ValueError("need a pindel file (-p) or bam config (-i)")
+        raise ValueError("need a pindel file (-p), bam config (-i) or "
+                         "pindel config (-P)")
     try:
         pipe.run()
     finally:
