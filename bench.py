@@ -23,19 +23,24 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-N_READS_TARGET = 2000
-SCENE_KINDS = ["DEL", "SI", "DI", "INV", "TD"] * 10
-CHROM_LEN = 400_000
+# VERDICT r1: >=50k reads over >=5 Mb so the chip is actually loaded.
+# 300 planted SVs x 60 split reads (~36% of reads support an event, the
+# rest are reference-matching "weird mates" that the whole-read-fit rule
+# rejects after the full search — the same work mix both sides see).
+N_EVENTS = 300
+READS_PER_EVENT = 60
+N_NOISE = 32_000
+SCENE_KINDS = ["DEL", "SI", "DI", "INV", "TD"] * (N_EVENTS // 5)
+CHROM_LEN = 6_000_000
 
 
 def build_scene(workdir: str):
     from make_fai import make_fai
 
     from pindel_tpu.testing.simulate import standard_scene, write_fasta
-    reads_per_event = max(N_READS_TARGET // (len(SCENE_KINDS) + 2) // 1, 4)
     ref, events, reads = standard_scene(
         seed=1234, chrom_len=CHROM_LEN, kinds=SCENE_KINDS,
-        reads_per_event=reads_per_event, n_noise=N_READS_TARGET // 10,
+        reads_per_event=READS_PER_EVENT, n_noise=N_NOISE,
         chrom="chrB")
     fa = os.path.join(workdir, "bench_ref.fa")
     write_fasta(fa, [("chrB", ref)])
@@ -67,7 +72,7 @@ def run_ours(fa: str, reads_txt: str, out_prefix: str) -> float:
     from pindel_tpu.pipeline import run_files
     t0 = time.time()
     run_files(fa, reads_txt, out_prefix, settings=Settings(),
-              backend="jax")
+              backend="fused")
     return time.time() - t0
 
 

@@ -79,7 +79,7 @@ def main(argv=None) -> int:
     ap.add_argument("-N", "--NormalSamples", dest="normal_samples",
                     action="store_true",
                     help="germline read-depth filtering of calls")
-    ap.add_argument("--backend", choices=["numpy", "jax", "fused"],
+    ap.add_argument("--backend", choices=["numpy", "jax", "fused", "mesh"],
                     default="fused")
     args = ap.parse_args(argv)
 

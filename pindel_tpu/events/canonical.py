@@ -19,10 +19,15 @@ MIN_FILTER_RATIO = 0.5  # Min_Filter_Ratio, pindel.cpp:99
 _RC = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N",
        "a": "t", "c": "g", "g": "c", "t": "a", "n": "n"}
 
+_RC_TABLE = str.maketrans(
+    {c: "N" for c in map(chr, range(128))} | {
+        "A": "T", "C": "G", "G": "C", "T": "A", "N": "N",
+        "a": "t", "c": "g", "g": "c", "t": "a", "n": "n"})
+
 
 def revcomp_str(s: str) -> str:
     """ReverseComplement for report strings (pindel.cpp:2037-2048)."""
-    return "".join(_RC.get(c, "N") for c in reversed(s))
+    return s[::-1].translate(_RC_TABLE)
 
 
 def cap2low(s: str) -> str:

@@ -107,7 +107,8 @@ def pick_first_pair(pred: np.ndarray, cmm: np.ndarray, fmm: np.ndarray,
     if not fi_asc:
         fi_key = fi_key[::-1]
     key = sum_mm * (nc * nf) + ci_key[:, None] * nf + fi_key[None, :]
-    flat = int(np.argmin(np.where(ok, key, _BIG)))
+    key[~ok] = _BIG
+    flat = int(np.argmin(key))
     return flat // nf, flat % nf
 
 

@@ -305,7 +305,6 @@ def _reverse_within(codes, qlen, lmax: int):
 
 
 # ------------------------------------------------------------ close kernel
-@partial(jax.jit, static_argnames=("w0", "w1", "lmax", "mpm", "bp_start"))
 def _close_kernel(chrom, codes, qlen, matched_minus, win0, win1,
                   max_snp, tsec_minus, maxmm, thr,
                   *, w0: int, w1: int, lmax: int, mpm: int, bp_start: int):
@@ -368,7 +367,6 @@ def _close_kernel(chrom, codes, qlen, matched_minus, win0, win1,
 
 
 # -------------------------------------------------------------- far kernel
-@partial(jax.jit, static_argnames=("ws", "lmax", "mpm", "bp_start"))
 def _far_kernel(chrom, codes, qlen, close_max, init_max,
                 wins, max_snp, tsec_minus, maxmm, thr,
                 *, ws: Tuple[int, ...], lmax: int, mpm: int, bp_start: int):
@@ -431,6 +429,12 @@ def _far_kernel(chrom, codes, qlen, close_max, init_max,
             st_round.astype(jnp.int8), st_replaced)
 
 
+_close_kernel_jit = partial(jax.jit, static_argnames=(
+    "w0", "w1", "lmax", "mpm", "bp_start"))(_close_kernel)
+_far_kernel_jit = partial(jax.jit, static_argnames=(
+    "ws", "lmax", "mpm", "bp_start"))(_far_kernel)
+
+
 # --------------------------------------------------------------- host side
 def unpack_bits(bits: np.ndarray, lmax: int) -> np.ndarray:
     """[..., L/8] uint8 -> [..., L] bool (inverse of _pack_bits)."""
@@ -491,12 +495,17 @@ def decode_chains(chrom_codes: np.ndarray, emit_bits: np.ndarray,
     cum = np.cumsum(step_mm, axis=1, dtype=np.int64)        # mm of q[0:l+1]
     full = cum[np.arange(idx.size), np.maximum(ql - 1, 0)]
 
+    # split the emitted (row, length) pairs per read in one pass
+    rows, cols = np.nonzero(emit[idx])
+    lens_all = cols + 1
+    mm_all = cum[rows, cols]
+    bounds = np.searchsorted(rows, np.arange(idx.size + 1))
     for k, i in enumerate(idx):
-        lens = np.flatnonzero(emit[i]) + 1                  # lengths
+        sl = slice(bounds[k], bounds[k + 1])
         out[i] = ChainDecode(
-            lengths=lens.astype(np.int64),
+            lengths=lens_all[sl],
             abs_loc=np.zeros(0, np.int64),
-            mm=cum[k, lens - 1],
+            mm=mm_all[sl],
             full_mm=int(full[k]))
     return out
 
@@ -536,6 +545,13 @@ class FusedJaxBackend:
     # legacy per-lane API (BreakDancer windows, odd shapes)
     def run(self, batch_lanes, bp_start, max_snps, tsec_minus):
         return self._legacy.run(batch_lanes, bp_start, max_snps, tsec_minus)
+
+    # kernel dispatch points (overridden by the mesh backend)
+    def _close_call(self, *args, **static):
+        return _close_kernel_jit(*args, **static)
+
+    def _far_call(self, *args, **static):
+        return _far_kernel_jit(*args, **static)
 
     @staticmethod
     def _w_bucket(width: int) -> int:
@@ -607,7 +623,7 @@ class FusedJaxBackend:
 
         t1 = time.monotonic()
         g_timer.add("fused: pack close", t1 - t0)
-        emit_bits, rep_w, winner, uniform = jax.device_get(_close_kernel(
+        emit_bits, rep_w, winner, uniform = jax.device_get(self._close_call(
             self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
             jnp.asarray(minus), jnp.asarray(win32[0]),
             jnp.asarray(win32[1]), jnp.asarray(ms), jnp.asarray(tm),
@@ -628,16 +644,21 @@ class FusedJaxBackend:
         end = win[att_range, np.arange(nb), 1]
         tlen = wbuck + lmax
         ss = np.where(minus[:nb], end - tlen, start)
-        # device-oriented query of the winning attempt
+        # device-oriented query of the winning attempt, vectorized:
+        # '-' reads use R(f) / C(f); '+' reads RC(f) / f (see _close_kernel)
         flip_att = (winner == 1) | (winner == 2)
-        q_dev = np.full((nb, lmax), dna.N, np.int8)
-        for i in np.flatnonzero(has):
-            qc = codes[i, :qlen[i]]
-            if minus[i]:
-                q = dna.RC[qc] if flip_att[i] else qc[::-1]
-            else:
-                q = qc if flip_att[i] else dna.revcomp(qc)
-            q_dev[i, :qlen[i]] = q
+        cf = dna.RC[codes[:nb]]
+        li = np.arange(lmax)
+        ridx = np.where(li < qlen[:nb, None],
+                        np.maximum(qlen[:nb, None] - 1 - li, 0), li)
+        rf = np.where(li < qlen[:nb, None],
+                      np.take_along_axis(codes[:nb], ridx, axis=1), dna.N)
+        rcf = np.where(li < qlen[:nb, None],
+                       np.take_along_axis(cf, ridx, axis=1), dna.N)
+        mcol = minus[:nb, None]
+        fcol = flip_att[:, None]
+        q_dev = np.where(mcol, np.where(fcol, cf, rf),
+                         np.where(fcol, codes[:nb], rcf)).astype(np.int8)
         chains = decode_chains(self.chrom_codes, emit_bits, rep_w, ss,
                                minus[:nb], q_dev, qlen[:nb], wbuck, lmax)
         for i in range(nb):
@@ -710,7 +731,7 @@ class FusedJaxBackend:
         t1 = time.monotonic()
         g_timer.add("fused: pack far", t1 - t0)
         emit_bits, rep, uni, win_round, replaced = jax.device_get(
-            _far_kernel(
+            self._far_call(
                 self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
                 jnp.asarray(close_max), jnp.asarray(init_max),
                 jnp.asarray(wins.astype(np.int32)), jnp.asarray(ms),
@@ -733,10 +754,8 @@ class FusedJaxBackend:
         end = wins[np.arange(nb), rr, 1]
         tlen = wbuck + lmax
         ss = np.where(lane == 1, end - tlen, start)
-        q_dev = np.full((nb, lmax), dna.N, np.int8)
-        for i in range(nb):
-            qc = codes[i, :qlen[i]]
-            q_dev[i, :qlen[i]] = dna.RC[qc] if lane[i] == 1 else qc
+        q_dev = np.where((lane == 1)[:, None], dna.RC[codes[:nb]],
+                         codes[:nb]).astype(np.int8)
         chains = decode_chains(self.chrom_codes, emit_bits, w_off, ss,
                                lane == 1, q_dev, qlen[:nb], wbuck, lmax)
         for i in range(nb):

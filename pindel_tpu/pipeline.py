@@ -486,6 +486,14 @@ def run_files(reference_fa: str, pindel_file: Optional[str],
         def factory(chrom):
             return FusedJaxBackend(s, s.max_mismatch(), chrom.seq,
                                    chrom_name=chrom.name)
+    elif backend == "mesh":
+        from pindel_tpu.parallel.mesh_fused import (MeshFusedBackend,
+                                                    make_dp_mesh)
+        mesh = make_dp_mesh()
+
+        def factory(chrom):
+            return MeshFusedBackend(s, s.max_mismatch(), chrom.seq, mesh,
+                                    chrom_name=chrom.name)
     pipe = Pipeline(s, genome, backend_factory=factory)
     pipe.create_output_files()
     if bam_config:

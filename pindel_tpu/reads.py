@@ -154,8 +154,9 @@ class SplitRead:
 
     def set_seq(self, seq: str) -> None:
         """setUnmatchedSeq: trim trailing non-alnum (pindel.cpp:142-159)."""
-        while seq and not seq[-1].isalnum():
-            seq = seq[:-1]
+        if seq and not seq[-1].isalnum():
+            while seq and not seq[-1].isalnum():
+                seq = seq[:-1]
         self.seq = seq
 
     @property

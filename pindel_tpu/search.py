@@ -104,15 +104,22 @@ def far_end_lanes(read: SplitRead,
     return lanes
 
 
+_TRUE = np.ones(1, dtype=bool)
+_FALSE = np.zeros(1, dtype=bool)
+_ZERO8 = np.zeros(1, dtype=np.int8)
+
+
 def _anchorset_from_chain(chain, dir_minus: bool, strand_minus: bool,
                           chr_name: str) -> AnchorSet:
-    """AnchorSet from a fused-engine ChainDecode (single-lane chain)."""
+    """AnchorSet from a fused-engine ChainDecode (single-lane chain).
+
+    Constant columns are read-only broadcast views (no per-read allocs)."""
     n = chain.lengths.shape[0]
     return AnchorSet(chain.lengths, chain.abs_loc,
-                     chain.mm.astype(np.int64),
-                     np.full(n, dir_minus, dtype=bool),
-                     np.full(n, strand_minus, dtype=bool),
-                     [chr_name], np.zeros(n, dtype=np.int8))
+                     chain.mm.astype(np.int64, copy=False),
+                     np.broadcast_to(_TRUE if dir_minus else _FALSE, (n,)),
+                     np.broadcast_to(_TRUE if strand_minus else _FALSE, (n,)),
+                     [chr_name], np.broadcast_to(_ZERO8, (n,)))
 
 
 class Searcher:
