@@ -76,6 +76,13 @@ def main(argv=None) -> int:
     ap.add_argument("--MIN_DD_MAP_DISTANCE", type=int, default=8000)
     ap.add_argument("--DD_REPORT_DUPLICATION_READS", action="store_true")
     ap.add_argument("-A", "--anchor_quality", type=int, default=0)
+    ap.add_argument("-g", "--genotyping", default=None,
+                    help="genotype the SVs listed in this file "
+                         "(Type ChrA PosA CI_A ChrB PosB CI_B per record; "
+                         "requires -i). The reference ships this path "
+                         "disabled (pindel.cpp:1733-1736); here it runs.")
+    ap.add_argument("-Y", "--Ploidy", dest="ploidy", default=None,
+                    help="per-chromosome ploidy file (ChrName Ploidy)")
     ap.add_argument("-N", "--NormalSamples", dest="normal_samples",
                     action="store_true",
                     help="germline read-depth filtering of calls")
@@ -119,6 +126,13 @@ def main(argv=None) -> int:
         min_anchor_quality=args.anchor_quality,
         normal_samples=args.normal_samples,
     )
+    if args.genotyping:
+        if not args.config:
+            ap.error("-g requires a bam config (-i)")
+        from pindel_tpu.genotyping import run_genotyping_files
+        return run_genotyping_files(args.fasta, args.config,
+                                    args.genotyping, args.output_prefix,
+                                    ploidy_path=args.ploidy or "")
     if args.detect_DD:
         # -q runs DD detection and exits (reference pindel.cpp:1744-1746)
         from pindel_tpu.dd import run_dd_files

@@ -89,6 +89,10 @@ def _lib():
     lib.ptbam_collect_rp.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int64]
+    lib.ptbam_collect_rp_gt.restype = ctypes.c_int64
+    lib.ptbam_collect_rp_gt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64]
     lib.ptbam_collect_dd.restype = ctypes.c_int64
     lib.ptbam_collect_dd.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
@@ -281,3 +285,32 @@ class BamReader:
             else:
                 inter.append(r)
         return same, inter
+
+    def collect_rp_gt(self, chrom_name: str, start: int, end: int,
+                      insert_size: int):
+        """Read pairs for genotyping over [start, end).
+
+        Mirrors build_record_RP (reader.cpp:925-980): pairs with
+        tid != mtid or |isize| > l_qseq + 2*insert; returns numpy arrays
+        (pos_a, pos_b, mate_chrom_id, mapq) — MQA == MQB == mapq in the
+        reference (reader.cpp:968-969).
+        """
+        import numpy as np
+        if chrom_name not in self.ref_names:
+            z = np.zeros(0, np.int64)
+            return z, z, np.zeros(0, np.int32), np.zeros(0, np.int32)
+        tid = self.ref_names.index(chrom_name)
+        n = self._lib.ptbam_collect_rp_gt(self._h, tid, start, end,
+                                          insert_size)
+        if not n:
+            z = np.zeros(0, np.int64)
+            return z, z, np.zeros(0, np.int32), np.zeros(0, np.int32)
+        pos = np.ctypeslib.as_array(
+            self._lib.ptbam_ref_read_pos(self._h), (n,)).copy()
+        mpos = np.ctypeslib.as_array(
+            self._lib.ptbam_sr_pos(self._h), (n,)).copy()
+        mtid = np.ctypeslib.as_array(
+            self._lib.ptbam_sr_ms(self._h), (n,)).copy()
+        mq = np.ctypeslib.as_array(
+            self._lib.ptbam_ref_read_mq(self._h), (n,)).copy()
+        return pos, mpos, mtid, mq

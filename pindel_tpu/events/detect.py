@@ -59,6 +59,29 @@ def read_in_specified_region(read: SplitRead, ctx: WindowContext) -> bool:
     return True
 
 
+
+class CandidateReads:
+    """Pre-filtered (index, read) pairs shared by all detectors.
+
+    The invariant part of every detector's eligibility prefix — far end
+    present and on the anchor chromosome — never changes during the
+    detector cascade (only ``used`` flips), so the pipeline computes it
+    once per window instead of 7x over the full read list."""
+
+    __slots__ = ("pairs",)
+
+    def __init__(self, reads):
+        self.pairs = [(i, r) for i, r in enumerate(reads)
+                      if r.up_far and r.frag_name == r.far_frag_name]
+
+
+def _eligible(reads):
+    if isinstance(reads, CandidateReads):
+        return reads.pairs
+    return [(i, r) for i, r in enumerate(reads)
+            if r.up_far and r.frag_name == r.far_frag_name]
+
+
 def _place_read(read: SplitRead, idx: int, ctx: WindowContext,
                 boxes: List[List[int]]) -> bool:
     """Shared tail: defer to next window or bin into a box; returns placed."""
@@ -144,10 +167,8 @@ class VariantSearcher:
     def search(self, reads: List[SplitRead], ctx: WindowContext,
                boxes: List[List[int]]) -> None:
         chr_len = len(ctx.chr_seq)
-        for idx, read in enumerate(reads):
-            if read.frag_name != read.far_frag_name:
-                continue
-            if read.used or not read.up_far:
+        for idx, read in _eligible(reads):
+            if read.used:
                 continue
             cl, fa = _read_anchors(read)
             far_minus = fa[3]
@@ -414,9 +435,8 @@ def search_tandem_duplications(reads: List[SplitRead], ctx: WindowContext,
     """Reference: searchTandemDuplications (search_tandem_duplications.cpp).
 
     Vectorized pair selection with the reference loop as fallback."""
-    for idx, read in enumerate(reads):
-        if read.used or not read.up_far \
-                or read.frag_name != read.far_frag_name:
+    for idx, read in _eligible(reads):
+        if read.used:
             continue
         cl, fa = _read_anchors(read)
         L = read.read_length
@@ -543,9 +563,8 @@ def search_tandem_duplications_nt(reads: List[SplitRead], ctx: WindowContext,
                                   settings: Settings) -> None:
     """Reference: searchTandemDuplicationsNT
     (search_tandem_duplications_nt.cpp:27-131)."""
-    for idx, read in enumerate(reads):
-        if read.used or not read.up_far \
-                or read.frag_name != read.far_frag_name:
+    for idx, read in _eligible(reads):
+        if read.used:
             continue
         close = read.up_close[-1]
         far = read.up_far[-1]
@@ -610,9 +629,8 @@ def search_inversions(reads: List[SplitRead], ctx: WindowContext,
 
     Vectorized pair selection; reference loop as fallback."""
     min_inv = settings.min_inversion_size
-    for idx, read in enumerate(reads):
-        if read.used or not read.up_far \
-                or read.frag_name != read.far_frag_name:
+    for idx, read in _eligible(reads):
+        if read.used:
             continue
         if not (read.up_close[0].strand != read.up_far[0].strand
                 and read.up_close[0].direction == read.up_far[0].direction):
@@ -849,9 +867,8 @@ def search_inversions_nt(reads: List[SplitRead], ctx: WindowContext,
     """Reference: searchInversionsNT (search_inversions_nt.cpp:30-200)."""
     min_inv = settings.min_inversion_size
     mnmb = settings.min_num_matched_bases
-    for idx, read in enumerate(reads):
-        if read.used or not read.up_far \
-                or read.frag_name != read.far_frag_name:
+    for idx, read in _eligible(reads):
+        if read.used:
             continue
         close = read.up_close[-1]
         far = read.up_far[-1]
@@ -931,9 +948,8 @@ def search_indels_nt(reads: List[SplitRead], ctx: WindowContext,
     last (longest) close and far anchors are considered, with a
     length-scaled mismatch ceiling.
     """
-    for idx, read in enumerate(reads):
-        if read.used or not read.up_far \
-                or read.frag_name != read.far_frag_name:
+    for idx, read in _eligible(reads):
+        if read.used:
             continue
         close = read.up_close[-1]
         far = read.up_far[-1]

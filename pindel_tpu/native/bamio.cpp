@@ -517,6 +517,48 @@ int64_t ptbam_collect_rp(void* h, int32_t tid, int64_t start, int64_t end,
   return bf->ref_pos.size();
 }
 
+// Read-pair collection for genotyping (-g).  Mirrors build_record_RP
+// (reader.cpp:925-980): both mates mapped and the pair discordant by the
+// looser rule tid != mtid || |isize| > l_qseq + 2*insert_size.  No
+// mapq or strand gate here — the genotyping step filters MQ >= 20
+// (which equals the reference's MQA/MQB test: both are set to the
+// record's own quality, reader.cpp:968-969).  Emits pos, mpos, mtid,
+// mapq and l_qseq.
+int64_t ptbam_collect_rp_gt(void* h, int32_t tid, int64_t start,
+                            int64_t end, int64_t insert_size) {
+  auto* bf = static_cast<BamFile*>(h);
+  bf->ref_pos.clear();      // pos
+  bf->sr_pos.clear();       // mpos
+  bf->sr_ms.clear();        // mtid
+  bf->ref_mq.clear();       // mapq
+  bf->ref_len.clear();      // l_qseq
+  if (tid < 0 || static_cast<size_t>(tid) >= bf->ref_names.size()
+      || bf->tid_begin[tid] < 0)
+    return 0;
+  int64_t lo = bf->tid_begin[tid], hi = bf->tid_end[tid];
+  int64_t target = start - bf->tid_max_span[tid];
+  while (lo < hi) {
+    int64_t mid = (lo + hi) / 2;
+    if (bf->recs[mid].pos < target) lo = mid + 1;
+    else hi = mid;
+  }
+  for (int64_t i = lo; i < bf->tid_end[tid]; i++) {
+    const Record& r = bf->recs[i];
+    if (r.pos >= end) break;
+    if (r.endpos <= start) continue;
+    if (r.flag & (FLAG_UNMAP | FLAG_MUNMAP)) continue;
+    int64_t isize = r.isize < 0 ? -r.isize : r.isize;
+    if (r.tid != r.mtid || isize > r.l_qseq + 2 * insert_size) {
+      bf->ref_pos.push_back(r.pos);
+      bf->sr_pos.push_back(r.mpos);
+      bf->sr_ms.push_back(r.mtid);
+      bf->ref_mq.push_back(r.mapq);
+      bf->ref_len.push_back(r.l_qseq);
+    }
+  }
+  return bf->ref_pos.size();
+}
+
 // Discordant-read collection for dispersed-duplication (-q) mode.
 // Mirrors fetch_disc_read_callback (search_MEI.cpp:689-713): both mates
 // mapped, not concordant (is_concordant, search_MEI.cpp:46-64: same tid,

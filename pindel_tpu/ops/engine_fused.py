@@ -68,7 +68,7 @@ def _b_bucket(b: int, buckets=(256, 2048, 8192)) -> int:
 # --------------------------------------------------------------------- scan
 def _scan_lanes(chrom, slice_start, reverse, qq, valid_w, qlen,
                 max_snp, tsec_minus, thr, *, w: int, lmax: int,
-                g: int, nlg: int, mpm: int):
+                g: int, nlg: int, mpm: int, lsteps: int = 0):
     """Dense length-scan over candidate lanes with per-group statistics.
 
     Shapes: slice_start/reverse/valid_w [B, NL]; qq [B, NL, lmax] with
@@ -114,7 +114,8 @@ def _scan_lanes(chrom, slice_start, reverse, qq, valid_w, qlen,
         tiles.reshape(rows, tile_len), qq.reshape(rows, lmax),
         valid_w.reshape(rows),
         jnp.repeat(qlen, nl), jnp.repeat(tsec_minus, nl),
-        jnp.repeat(thr, nl), w=w, lmax=lmax, mpm=mpm)
+        jnp.repeat(thr, nl), w=w, lmax=lmax, mpm=mpm,
+        lsteps=lsteps or lmax)
     kmin = kmin.reshape(b, g, nlg, lmax)
     k2 = k2.reshape(b, g, nlg, lmax)
 
@@ -153,17 +154,23 @@ def _key_shift(w: int) -> int:
 
 
 def _scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
-               *, w: int, lmax: int, mpm: int):
-    """Per-row packed-key scan: [R, T] tiles -> kmin/k2 [R, lmax] int32."""
+               *, w: int, lmax: int, mpm: int, lsteps: int = 0):
+    """Per-row packed-key scan: [R, T] tiles -> kmin/k2 [R, lmax] int32.
+
+    ``lsteps`` bounds the scan to the longest real query (lengths beyond
+    it cannot emit: in_range needs length <= qlen-1 <= lsteps); the
+    outputs stay [R, lmax] with zeros past lsteps."""
+    lsteps = lsteps or lmax
     if jax.default_backend() == "tpu":
         return _pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
-                                 w=w, lmax=lmax, mpm=mpm)
+                                 w=w, lmax=lmax, mpm=mpm, lsteps=lsteps)
     return _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
-                          w=w, lmax=lmax, mpm=mpm)
+                          w=w, lmax=lmax, mpm=mpm, lsteps=lsteps)
 
 
 def _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
-                   *, w: int, lmax: int, mpm: int):
+                   *, w: int, lmax: int, mpm: int, lsteps: int = 0):
+    lsteps = lsteps or lmax
     small = lmax <= 255
     cum_dtype = jnp.uint8 if small else jnp.int16
     dead = U8DEAD if small else I16DEAD
@@ -190,7 +197,7 @@ def _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
         inc = jnp.where((l >= 1) & (l < qlen[:, None]), mm, False)
         return carry + inc.astype(cum_dtype), None
     cum_end, _ = jax.lax.scan(body1, jnp.zeros((r, w), cum_dtype),
-                              jnp.arange(lmax, dtype=jnp.int32))
+                              jnp.arange(lsteps, dtype=jnp.int32))
     badfit = (cum_end.astype(jnp.int32) < thr[:, None]).astype(jnp.int32)
 
     # pass 2: packed-key stats per length
@@ -215,16 +222,18 @@ def _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
     z = jnp.zeros((r, w), cum_dtype)
     zu = jnp.zeros((r, w), jnp.uint8)
     _, (kmin, k2) = jax.lax.scan(body2, (z, zu),
-                                 jnp.arange(lmax, dtype=jnp.int32))
-    return jnp.moveaxis(kmin, 0, 1), jnp.moveaxis(k2, 0, 1)
+                                 jnp.arange(lsteps, dtype=jnp.int32))
+    pad = ((0, 0), (0, lmax - lsteps))
+    return (jnp.pad(jnp.moveaxis(kmin, 0, 1), pad),
+            jnp.pad(jnp.moveaxis(k2, 0, 1), pad))
 
 
 def _pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
-                      *, w: int, lmax: int, mpm: int):
+                      *, w: int, lmax: int, mpm: int, lsteps: int = 0):
     """Pallas TPU kernel: both passes with the carry resident in VMEM."""
     from pindel_tpu.ops.pallas_scan import pallas_scan_rows
     return pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
-                            w=w, lmax=lmax, mpm=mpm)
+                            w=w, lmax=lmax, mpm=mpm, lsteps=lsteps or lmax)
 
 
 def _emit_rules(min_mm, lvl2, rep_key, rep_strict_bad, fit_ok,
@@ -307,7 +316,8 @@ def _reverse_within(codes, qlen, lmax: int):
 # ------------------------------------------------------------ close kernel
 def _close_kernel(chrom, codes, qlen, matched_minus, win0, win1,
                   max_snp, tsec_minus, maxmm, thr,
-                  *, w0: int, w1: int, lmax: int, mpm: int, bp_start: int):
+                  *, w0: int, w1: int, lmax: int, mpm: int, bp_start: int,
+                  lsteps: int = 0):
     """All four close-end attempts in one launch.
 
     Attempt schedule (GetCloseEnd, pindel.cpp:2531-2576): (range0, seq),
@@ -345,7 +355,8 @@ def _close_kernel(chrom, codes, qlen, matched_minus, win0, win1,
         valid_w = jnp.stack([valid, valid], axis=1)
         stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
                             qlen, max_snp, tsec_minus, thr,
-                            w=wb, lmax=lmax, g=2, nlg=1, mpm=mpm)
+                            w=wb, lmax=lmax, g=2, nlg=1, mpm=mpm,
+                            lsteps=lsteps)
         outs.append(_emit_rules(*stats, reverse, qlen, max_snp,
                                 tsec_minus, maxmm,
                                 w=wb, lmax=lmax, g=2, nlg=1,
@@ -369,7 +380,8 @@ def _close_kernel(chrom, codes, qlen, matched_minus, win0, win1,
 # -------------------------------------------------------------- far kernel
 def _far_kernel(chrom, codes, qlen, close_max, init_max,
                 wins, max_snp, tsec_minus, maxmm, thr,
-                *, ws: Tuple[int, ...], lmax: int, mpm: int, bp_start: int):
+                *, ws: Tuple[int, ...], lmax: int, mpm: int, bp_start: int,
+                lsteps: int = 0):
     """All geometric far-end escalation rounds in one launch.
 
     Lane construction (far_end_lanes in search.py / SearchFarEndAtPos,
@@ -407,7 +419,8 @@ def _far_kernel(chrom, codes, qlen, close_max, init_max,
         valid_w = jnp.stack([valid, valid], axis=1)
         stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
                             qlen, max_snp, tsec_minus, thr,
-                            w=wb, lmax=lmax, g=1, nlg=2, mpm=mpm)
+                            w=wb, lmax=lmax, g=1, nlg=2, mpm=mpm,
+                            lsteps=lsteps)
         emit, rep_last, uniform, any_emit, last = _emit_rules(
             *stats, reverse, qlen, max_snp, tsec_minus, maxmm,
             w=wb, lmax=lmax, g=1, nlg=2, mpm=mpm, bp_start=bp_start)
@@ -430,9 +443,9 @@ def _far_kernel(chrom, codes, qlen, close_max, init_max,
 
 
 _close_kernel_jit = partial(jax.jit, static_argnames=(
-    "w0", "w1", "lmax", "mpm", "bp_start"))(_close_kernel)
+    "w0", "w1", "lmax", "mpm", "bp_start", "lsteps"))(_close_kernel)
 _far_kernel_jit = partial(jax.jit, static_argnames=(
-    "ws", "lmax", "mpm", "bp_start"))(_far_kernel)
+    "ws", "lmax", "mpm", "bp_start", "lsteps"))(_far_kernel)
 
 
 # --------------------------------------------------------------- host side
@@ -628,7 +641,8 @@ class FusedJaxBackend:
             jnp.asarray(minus), jnp.asarray(win32[0]),
             jnp.asarray(win32[1]), jnp.asarray(ms), jnp.asarray(tm),
             self.maxmm_dev, jnp.asarray(thr),
-            w0=w0, w1=w1, lmax=lmax, mpm=self.mpm, bp_start=bp_start))
+            w0=w0, w1=w1, lmax=lmax, mpm=self.mpm, bp_start=bp_start,
+            lsteps=_round_up(int(qlen[:nb].max()), 16)))
         t2 = time.monotonic()
         g_timer.add(f"fused: close kernel+xfer w={w0}/{w1} b={b}", t2 - t1)
 
@@ -736,7 +750,8 @@ class FusedJaxBackend:
                 jnp.asarray(close_max), jnp.asarray(init_max),
                 jnp.asarray(wins.astype(np.int32)), jnp.asarray(ms),
                 jnp.asarray(tm), self.maxmm_dev, jnp.asarray(thr),
-                ws=tuple(ws), lmax=lmax, mpm=self.mpm, bp_start=bp_start))
+                ws=tuple(ws), lmax=lmax, mpm=self.mpm, bp_start=bp_start,
+                lsteps=_round_up(int(qlen[:nb].max()), 16)))
         t2 = time.monotonic()
         g_timer.add(f"fused: far kernel+xfer ws={tuple(ws)} b={b}", t2 - t1)
 

@@ -48,7 +48,8 @@ BIG = 2 ** 30
 def _kernel(tiles_ref, qq_ref, meta_ref, kmin_ref, k2_ref,
             work_ref, qwork_ref, cum_ref, ws_ref, seed_ref, fit_ref,
             ring_ref,
-            *, w: int, lmax: int, mpm: int, shift: int, dead: int):
+            *, w: int, lmax: int, mpm: int, shift: int, dead: int,
+            lsteps: int):
     bm = BM
     vw = meta_ref[:, 0:1]
     qlen = meta_ref[:, 1:2]
@@ -93,7 +94,7 @@ def _kernel(tiles_ref, qq_ref, meta_ref, kmin_ref, k2_ref,
         advance()
         return 0
 
-    jax.lax.fori_loop(0, lmax, body1, 0)
+    jax.lax.fori_loop(0, lsteps, body1, 0)
     fit_ref[:] = (cum_ref[:] < thr).astype(jnp.int32)      # badfit bit
 
     # ---- pass 2: per-length packed-key statistics
@@ -128,13 +129,14 @@ def _kernel(tiles_ref, qq_ref, meta_ref, kmin_ref, k2_ref,
         advance()
         return 0
 
-    jax.lax.fori_loop(0, lmax, body2, 0)
+    jax.lax.fori_loop(0, lsteps, body2, 0)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w", "lmax", "mpm", "interpret"))
+                   static_argnames=("w", "lmax", "mpm", "lsteps",
+                                    "interpret"))
 def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
-                     *, w: int, lmax: int, mpm: int,
+                     *, w: int, lmax: int, mpm: int, lsteps: int = 0,
                      interpret: bool = False):
     """[R, T] int8 tiles -> (kmin, k2) [R, lmax] int32 (see engine_fused).
 
@@ -162,7 +164,8 @@ def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
 
     grid = (rp // BM,)
     kern = functools.partial(_kernel, w=w, lmax=lmax, mpm=mpm,
-                             shift=shift, dead=dead)
+                             shift=shift, dead=dead,
+                             lsteps=lsteps or lmax)
     kmin, k2 = pl.pallas_call(
         kern,
         grid=grid,

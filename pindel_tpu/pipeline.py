@@ -20,7 +20,8 @@ from typing import Dict, List, Optional, TextIO
 
 from pindel_tpu import dna
 from pindel_tpu.config import Settings
-from pindel_tpu.events.detect import (SearchDeletions, SearchShortInsertions,
+from pindel_tpu.events.detect import (CandidateReads, SearchDeletions,
+                                      SearchShortInsertions,
                                       WindowContext, search_indels_nt,
                                       search_inversions,
                                       search_inversions_nt,
@@ -201,7 +202,6 @@ class Pipeline:
     def _window_reads(self, chrom: Chromosome,
                       window: LoopingSearchWindow) -> List[SplitRead]:
         """ReadInRead filter/clamp semantics (reader.cpp:227-246)."""
-        import copy
         taken: List[SplitRead] = []
         for read in self.input_reads:
             if read.matched_rel_pos > self.g_max_pos:
@@ -211,7 +211,7 @@ class Pipeline:
                     and read.matched_rel_pos < window.current_end):
                 # shallow copy is safe: search/detection always *assign*
                 # fresh lists/strings, never mutate shared ones
-                r = copy.copy(read)
+                r = read.clone()
                 if r.matched_rel_pos > chrom.biol_size:
                     r.matched_rel_pos = chrom.biol_size
                 if r.matched_rel_pos < 0:
@@ -411,40 +411,41 @@ class Pipeline:
         def boxes() -> "BoxMap":
             return BoxMap()
 
+        cand = CandidateReads(reads)
         d_boxes = boxes()
-        SearchDeletions().search(reads, ctx(), d_boxes)
+        SearchDeletions().search(cand, ctx(), d_boxes)
         sort_output_d(reads, d_boxes, chr_seq, self._out("D"), self.state)
 
         di_boxes = boxes()
-        search_indels_nt(reads, ctx(), di_boxes, s)
+        search_indels_nt(cand, ctx(), di_boxes, s)
         sort_output_di(reads, di_boxes, chr_seq, self._out("D"),
                        self._out("INV"), self.state)
 
         if s.analyze_td:
             td_boxes = boxes()
-            search_tandem_duplications(reads, ctx(), td_boxes)
+            search_tandem_duplications(cand, ctx(), td_boxes)
             sort_and_output_tandem_duplications(
                 reads, td_boxes, chr_seq, self._out("TD"), self.state, False)
             td_nt_boxes = boxes()
-            search_tandem_duplications_nt(reads, ctx(), td_nt_boxes, s)
+            search_tandem_duplications_nt(cand, ctx(), td_nt_boxes, s)
             sort_and_output_tandem_duplications(
                 reads, td_nt_boxes, chr_seq, self._out("TD"), self.state,
                 True)
 
         if s.analyze_inv:
             inv_boxes = boxes()
-            search_inversions(reads, ctx(), inv_boxes, s)
+            search_inversions(cand, ctx(), inv_boxes, s)
             do_sort_and_output_inversions(
                 reads, inv_boxes, chr_seq, self._out("INV"), self.state,
                 False)
             inv_nt_boxes = boxes()
-            search_inversions_nt(reads, ctx(), inv_nt_boxes, s)
+            search_inversions_nt(cand, ctx(), inv_nt_boxes, s)
             do_sort_and_output_inversions(
                 reads, inv_nt_boxes, chr_seq, self._out("INV"), self.state,
                 True)
 
         si_boxes = boxes()
-        SearchShortInsertions().search(reads, ctx(), si_boxes)
+        SearchShortInsertions().search(cand, ctx(), si_boxes)
         sort_output_si(reads, si_boxes, chr_seq, self._out("SI"), self.state)
 
         if s.analyze_li:

@@ -152,6 +152,12 @@ class SplitRead:
     read_group: str = ""
     sample_name_to_number: Optional[dict] = None
 
+    def clone(self) -> "SplitRead":
+        """Fast shallow copy (copy.copy dispatch is hot at WGS scale)."""
+        r = SplitRead.__new__(SplitRead)
+        r.__dict__.update(self.__dict__)
+        return r
+
     def set_seq(self, seq: str) -> None:
         """setUnmatchedSeq: trim trailing non-alnum (pindel.cpp:142-159)."""
         if seq and not seq[-1].isalnum():
