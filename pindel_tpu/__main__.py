@@ -76,6 +76,19 @@ def main(argv=None) -> int:
     ap.add_argument("--MIN_DD_MAP_DISTANCE", type=int, default=8000)
     ap.add_argument("--DD_REPORT_DUPLICATION_READS", action="store_true")
     ap.add_argument("-A", "--anchor_quality", type=int, default=0)
+    ap.add_argument("-T", "--number_of_threads", type=int, default=1,
+                    help="host-side worker threads (reference OpenMP -T)")
+    ap.add_argument("-L", "--name_of_logfile", default="",
+                    help="redirect the log stream to this file")
+    ap.add_argument("-H", "--min_distance_to_the_end", type=int,
+                    default=8, dest="min_close",
+                    help="minimum number of bases required to match "
+                         "reference (close-end)")
+    ap.add_argument("-n", "--NM", type=int, default=2, dest="nm",
+                    help="minimum edit distance between read and "
+                         "reference for realignment (BAM channel)")
+    ap.add_argument("--profile", action="store_true",
+                    help="print the sub-phase timer registry at exit")
     ap.add_argument("-g", "--genotyping", default=None,
                     help="genotype the SVs listed in this file "
                          "(Type ChrA PosA CI_A ChrB PosB CI_B per record; "
@@ -125,6 +138,11 @@ def main(argv=None) -> int:
         dd_report_duplication_reads=args.DD_REPORT_DUPLICATION_READS,
         min_anchor_quality=args.anchor_quality,
         normal_samples=args.normal_samples,
+        num_threads=args.number_of_threads,
+        log_filename=args.name_of_logfile,
+        min_close=args.min_close,
+        nm=args.nm,
+        profile=args.profile,
     )
     if args.genotyping:
         if not args.config:

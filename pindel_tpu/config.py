@@ -74,8 +74,9 @@ class Settings:
     dd_report_duplication_reads: bool = False
 
     # device-side tuning (ours, not in reference)
-    device_batch_size: int = 2048         # reads per kernel launch
+    device_batch_size: int = 8192         # reads per kernel launch chunk
     max_read_length: int = MAX_READ_LENGTH
+    profile: bool = False                 # --profile: sub-phase timer dump
 
     def __post_init__(self):
         if self.additional_mismatch < 1:

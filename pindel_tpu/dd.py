@@ -674,12 +674,9 @@ def run_dd_files(reference_fa: str, bam_config: str, output_prefix: str,
         if e.path not in readers:
             readers[e.path] = BamReader(e.path)
     searcher = Searcher(s)
-    factory = None
-    if backend == "jax":
-        from pindel_tpu.ops.engine_jax import JaxBackend
-
-        def factory(chrom):
-            return JaxBackend(s, s.max_mismatch(), chrom.seq,
-                              chrom_name=chrom.name)
+    # all CLI backends (jax/fused/mesh) route through the shared factory
+    # (r2 VERDICT: -q used to silently fall back to NumPy for "fused")
+    from pindel_tpu.pipeline import make_backend_factory
+    factory = make_backend_factory(backend, s)
     return search_dd_main(s, genome, entries, readers, searcher,
                           backend_factory=factory)

@@ -15,7 +15,7 @@ stays in Python deliberately (per-read logic over a handful of anchors).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -75,7 +75,11 @@ class CandidateReads:
                       if r.up_far and r.frag_name == r.far_frag_name]
 
 
-def _eligible(reads):
+# detectors accept either a plain read list or the shared prefilter
+ReadsArg = Union[List[SplitRead], "CandidateReads"]
+
+
+def _eligible(reads: ReadsArg):
     if isinstance(reads, CandidateReads):
         return reads.pairs
     return [(i, r) for i, r in enumerate(reads)
@@ -164,7 +168,7 @@ class VariantSearcher:
     def pred2(self, read, cl, fa) -> np.ndarray:
         raise NotImplementedError
 
-    def search(self, reads: List[SplitRead], ctx: WindowContext,
+    def search(self, reads: ReadsArg, ctx: WindowContext,
                boxes: List[List[int]]) -> None:
         chr_len = len(ctx.chr_seq)
         for idx, read in _eligible(reads):
@@ -430,7 +434,7 @@ def left_most_inv(read: SplitRead, ctx: WindowContext) -> None:
             read.bp += diff
 
 
-def search_tandem_duplications(reads: List[SplitRead], ctx: WindowContext,
+def search_tandem_duplications(reads: ReadsArg, ctx: WindowContext,
                                boxes: List[List[int]]) -> None:
     """Reference: searchTandemDuplications (search_tandem_duplications.cpp).
 
@@ -558,7 +562,7 @@ def _td_scalar_read(read: SplitRead, idx: int, ctx: WindowContext,
                         _place_read(read, idx, ctx, boxes)
 
 
-def search_tandem_duplications_nt(reads: List[SplitRead], ctx: WindowContext,
+def search_tandem_duplications_nt(reads: ReadsArg, ctx: WindowContext,
                                   boxes: List[List[int]],
                                   settings: Settings) -> None:
     """Reference: searchTandemDuplicationsNT
@@ -623,7 +627,7 @@ def _place_no_transgress(read, idx, ctx, boxes):
             read.used = True
 
 
-def search_inversions(reads: List[SplitRead], ctx: WindowContext,
+def search_inversions(reads: ReadsArg, ctx: WindowContext,
                       boxes: List[List[int]], settings: Settings) -> None:
     """Reference: searchInversions (search_inversions.cpp:30-280).
 
@@ -861,7 +865,7 @@ def _inv_scalar_read(read: SplitRead, idx: int, ctx: WindowContext,
                             place_no_transgress(read, idx)
 
 
-def search_inversions_nt(reads: List[SplitRead], ctx: WindowContext,
+def search_inversions_nt(reads: ReadsArg, ctx: WindowContext,
                          boxes: List[List[int]],
                          settings: Settings) -> None:
     """Reference: searchInversionsNT (search_inversions_nt.cpp:30-200)."""
@@ -940,7 +944,7 @@ def search_inversions_nt(reads: List[SplitRead], ctx: WindowContext,
                 _place_read(read, idx, ctx, boxes)
 
 
-def search_indels_nt(reads: List[SplitRead], ctx: WindowContext,
+def search_indels_nt(reads: ReadsArg, ctx: WindowContext,
                      boxes: List[List[int]], settings: Settings) -> None:
     """Deletions with non-template insertion (DI / RPL).
 

@@ -133,12 +133,16 @@ def genotype_del_rp(reader, insert_size: int, sv: GenotypingSV
     cutoff = median + 5 * mad
     if cutoff == 0:
         return None               # Cutoff==0 -> all counts skipped
+    # Intentional divergence from the reference for malformed records
+    # with CI > Pos: its unsigned arithmetic underflows to ~4e9 so the
+    # spanning test trivially passes; we clamp the lower bound to 0 so
+    # such records count only genuinely spanning pairs (ADVICE r2).
     ref_a = _count_spanning(pos, mpos, dist, dist <= cutoff,
-                            sv.pos_a - sv.ci_a, sv.pos_a + sv.ci_a)
+                            max(sv.pos_a - sv.ci_a, 0), sv.pos_a + sv.ci_a)
     ref_b = _count_spanning(pos, mpos, dist, dist <= cutoff,
-                            sv.pos_b - sv.ci_b, sv.pos_b + sv.ci_b)
+                            max(sv.pos_b - sv.ci_b, 0), sv.pos_b + sv.ci_b)
     alt = _count_spanning(pos, mpos, dist, dist > cutoff,
-                          sv.pos_a - sv.ci_a, sv.pos_b + sv.ci_b)
+                          max(sv.pos_a - sv.ci_a, 0), sv.pos_b + sv.ci_b)
     total = ref_a + ref_b + alt
     if total == 0:
         return None

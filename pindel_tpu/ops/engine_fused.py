@@ -631,7 +631,15 @@ class FusedJaxBackend:
             win[k, :, 1] = np.where(minus, minus_end, plus_end)
         w0 = self._w_bucket(max(int((win[0, :, 1] - win[0, :, 0]).max()), 1))
         w1 = self._w_bucket(max(int((win[1, :, 1] - win[1, :, 0]).max()), 1))
-        assert w1 + lmax <= SPACER, (w1, lmax)
+        if w1 + lmax > SPACER:
+            # huge mate-pair insert sizes (~>21.8kb) make the range-1
+            # window bucket outgrow the spacer padding the tile gather
+            # relies on; route the whole chunk through the exact-semantics
+            # fallback instead (ADVICE r2, mirrors the non-uniform-chain
+            # fallback path)
+            for i in range(nb):
+                results[base + i] = (None, -1, True)
+            return
         win32 = win.astype(np.int32)
 
         t1 = time.monotonic()

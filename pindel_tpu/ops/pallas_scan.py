@@ -148,7 +148,10 @@ def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
     assert t == w + lmax, (t, w, lmax)
     shift = _key_shift(w)
     dead = U8DEAD if lmax <= 255 else I16DEAD
-    assert (dead << shift) < 2 ** 31, (w, lmax)
+    # k2 adds BIG (2^30) to dead keys in int32, so the full key plus BIG
+    # must stay below 2^31 (ADVICE r2: the engine's SPACER guards cap w at
+    # 65536, but don't rely on that coupling here)
+    assert (dead << shift) + BIG < 2 ** 31, (w, lmax)
 
     rp = ((r + BM - 1) // BM) * BM
     if rp != r:

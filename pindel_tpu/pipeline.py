@@ -142,6 +142,7 @@ class Pipeline:
     # ------------------------------------------------------------------ io
     def load_pindel_input(self, path: str) -> None:
         self.input_reads = list(read_pindel_file(path))
+        self._index_reads()
 
     def load_pindel_config(self, path: str) -> None:
         """-P: config file naming one pindel file per line (first token;
@@ -166,6 +167,7 @@ class Pipeline:
         self.input_reads = []
         for f in files:
             self.input_reads.extend(read_pindel_file(f))
+        self._index_reads()
 
     def load_bam_config(self, path: str) -> None:
         """-i: bam config; sample tags enter g_sampleNames at init
@@ -199,27 +201,55 @@ class Pipeline:
         self._outputs.clear()
 
     # -------------------------------------------------------------- intake
+    def _index_reads(self) -> None:
+        """One-time (chrom -> position-sorted index) over the in-RAM read
+        list so per-window intake is O(hits log hits) instead of a full
+        rescan (the reference rescans the whole file every window,
+        reader.cpp:196-361 — its g_maxPos early-exit only helps the tail).
+        """
+        import numpy as np
+        by_chrom: Dict[str, List[int]] = {}
+        for i, read in enumerate(self.input_reads):
+            by_chrom.setdefault(read.frag_name, []).append(i)
+        self._read_index = {}
+        for name, idxs in by_chrom.items():
+            idx = np.asarray(idxs, dtype=np.int64)
+            pos = np.asarray([self.input_reads[i].matched_rel_pos
+                              for i in idxs], dtype=np.int64)
+            order = np.argsort(pos, kind="stable")
+            self._read_index[name] = (pos[order], idx[order])
+        self._input_max_pos = max(
+            (r.matched_rel_pos for r in self.input_reads), default=0)
+
     def _window_reads(self, chrom: Chromosome,
                       window: LoopingSearchWindow) -> List[SplitRead]:
         """ReadInRead filter/clamp semantics (reader.cpp:227-246)."""
+        import numpy as np
+        # the reference's per-window full scan leaves g_maxPos at the
+        # global maximum after the first window; the precomputed max is
+        # observationally identical at every finished() check
+        self.g_max_pos = self._input_max_pos
         taken: List[SplitRead] = []
-        for read in self.input_reads:
-            if read.matched_rel_pos > self.g_max_pos:
-                self.g_max_pos = read.matched_rel_pos
-            if (read.frag_name == chrom.name
-                    and read.matched_rel_pos >= window.current_start
-                    and read.matched_rel_pos < window.current_end):
-                # shallow copy is safe: search/detection always *assign*
-                # fresh lists/strings, never mutate shared ones
-                r = read.clone()
-                if r.matched_rel_pos > chrom.biol_size:
-                    r.matched_rel_pos = chrom.biol_size
-                if r.matched_rel_pos < 0:
-                    r.matched_rel_pos = 0
-                # g_sampleNames.insert for every in-window read
-                # (reader.cpp:290,335 — before close-end filtering)
-                self.state.sample_names.add(r.tag)
-                taken.append(r)
+        entry = getattr(self, "_read_index", {}).get(chrom.name)
+        if entry is None:
+            return taken
+        pos, idx = entry
+        lo = np.searchsorted(pos, window.current_start, side="left")
+        hi = np.searchsorted(pos, window.current_end, side="left")
+        hits = np.sort(idx[lo:hi])          # restore file order
+        for i in hits:
+            read = self.input_reads[i]
+            # shallow copy is safe: search/detection always *assign*
+            # fresh lists/strings, never mutate shared ones
+            r = read.clone()
+            if r.matched_rel_pos > chrom.biol_size:
+                r.matched_rel_pos = chrom.biol_size
+            if r.matched_rel_pos < 0:
+                r.matched_rel_pos = 0
+            # g_sampleNames.insert for every in-window read
+            # (reader.cpp:290,335 — before close-end filtering)
+            self.state.sample_names.add(r.tag)
+            taken.append(r)
         return taken
 
     def _window_reads_bam(self, chrom: Chromosome,
@@ -386,6 +416,11 @@ class Pipeline:
                         if s.report_interchromosomal_events and inter_sr:
                             sort_and_report_interchromosomal_events(
                                 inter_sr, self._out("INT"))
+                # showReadStats per window (reference reader.cpp:183-193)
+                g_read_stats.show(
+                    f"{chrom.name}:{window.displayed_start}-"
+                    f"{window.displayed_end}")
+                g_read_stats.reset()
                 window.next()
                 if window.finished(not self.bam_input, self.g_max_pos):
                     break
@@ -461,20 +496,9 @@ class Pipeline:
         self._out("LI")
 
 
-def run_files(reference_fa: str, pindel_file: Optional[str],
-              output_prefix: str, settings: Optional[Settings] = None,
-              backend: str = "numpy",
-              bam_config: Optional[str] = None,
-              pindel_config: Optional[str] = None) -> Settings:
-    """Convenience entry: -f/-p|-i|-P/-o equivalent."""
-    s = settings or Settings()
-    s.reference_filename = reference_fa
-    s.pindel_filename = pindel_file or ""
-    s.bam_config_filename = bam_config or ""
-    s.pindel_config_filename = pindel_config or ""
-    s.output_prefix = output_prefix
-    genome = Genome.from_fasta(reference_fa)
-    factory = None
+def make_backend_factory(backend: str, s: Settings):
+    """chrom -> device backend factory for a --backend name (shared by the
+    discovery pipeline and the -q DD mode)."""
     if backend == "jax":
         from pindel_tpu.ops.engine_jax import JaxBackend
 
@@ -495,6 +519,29 @@ def run_files(reference_fa: str, pindel_file: Optional[str],
         def factory(chrom):
             return MeshFusedBackend(s, s.max_mismatch(), chrom.seq, mesh,
                                     chrom_name=chrom.name)
+    elif backend == "numpy":
+        factory = None
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    return factory
+
+
+def run_files(reference_fa: str, pindel_file: Optional[str],
+              output_prefix: str, settings: Optional[Settings] = None,
+              backend: str = "numpy",
+              bam_config: Optional[str] = None,
+              pindel_config: Optional[str] = None) -> Settings:
+    """Convenience entry: -f/-p|-i|-P/-o equivalent."""
+    s = settings or Settings()
+    s.reference_filename = reference_fa
+    s.pindel_filename = pindel_file or ""
+    s.bam_config_filename = bam_config or ""
+    s.pindel_config_filename = pindel_config or ""
+    s.output_prefix = output_prefix
+    if s.log_filename:                    # -L (pindel.cpp:839-842)
+        g_log.redirect(s.log_filename)
+    genome = Genome.from_fasta(reference_fa)
+    factory = make_backend_factory(backend, s)
     pipe = Pipeline(s, genome, backend_factory=factory)
     pipe.create_output_files()
     if bam_config:
@@ -510,4 +557,8 @@ def run_files(reference_fa: str, pindel_file: Optional[str],
         pipe.run()
     finally:
         pipe.close()
+        # exit-time phase report (reference dumps timers at pindel.cpp:2010);
+        # --profile includes the fine-grained sub-phase registry
+        g_timer.report(stream=g_log, coarse_only=not s.profile)
+        g_log.close()
     return s

@@ -54,18 +54,25 @@ class Timer:
         self._order.clear()
         self._t0 = time.monotonic()
 
-    def report(self, stream: Optional[TextIO] = None) -> str:
-        """Phase report in the reference's exit format (pindel.cpp:1245-1258)."""
+    def report(self, stream=None, coarse_only: bool = False) -> str:
+        """Phase report in the reference's exit format (pindel.cpp:1245-1258).
+
+        ``coarse_only`` hides the fine-grained sub-phases (names with a
+        ``:``-prefixed component, e.g. ``fused: close kernel``) so the
+        default exit dump matches the reference's 5-phase granularity;
+        ``--profile`` prints everything."""
         total = sum(self._acc.values())
         wall = time.monotonic() - self._t0
         lines = ["Timer report (wall %.3fs, accounted %.3fs):" % (wall, total)]
         for name in self._order:
+            if coarse_only and ":" in name:
+                continue
             sec = self._acc[name]
             pct = 100.0 * sec / total if total > 0 else 0.0
             lines.append("  %-52s %9.3fs %5.1f%%" % (name, sec, pct))
         text = "\n".join(lines)
         if stream is not None:
-            print(text, file=stream)
+            stream.write(text + "\n")
         return text
 
     def items(self) -> Dict[str, float]:
@@ -76,11 +83,14 @@ g_timer = Timer()
 
 
 class LogStream:
-    """Global log sink: stdout by default, a file when ``-L`` is set
-    (reference pindel.cpp:839-842)."""
+    """Global log sink: stderr by default, a file when ``-L`` is set.
+
+    The reference logs to stdout (pindel.cpp:839-842); we default to
+    stderr so stdout stays clean for machine-readable output (bench JSON,
+    converter pipelines)."""
 
     def __init__(self) -> None:
-        self._fh: TextIO = sys.stdout
+        self._fh: TextIO = sys.stderr
         self._owned = False
 
     def redirect(self, path: str) -> None:
@@ -92,7 +102,7 @@ class LogStream:
         if self._owned:
             self._fh.close()
             self._owned = False
-            self._fh = sys.stdout
+            self._fh = sys.stderr
 
     def write(self, msg: str) -> None:
         self._fh.write(msg)
