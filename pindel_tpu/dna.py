@@ -38,7 +38,9 @@ def encode(seq: str) -> np.ndarray:
 
 
 def decode(codes: np.ndarray) -> str:
-    return _DECODE[np.asarray(codes, dtype=np.int64)].tobytes().decode("ascii")
+    # int8 codes index _DECODE directly (values 0..4); avoiding the int64
+    # upcast matters when decoding whole chromosomes
+    return _DECODE[np.asarray(codes)].tobytes().decode("ascii")
 
 
 def revcomp(codes: np.ndarray) -> np.ndarray:
@@ -46,12 +48,13 @@ def revcomp(codes: np.ndarray) -> np.ndarray:
     return RC[codes[::-1]]
 
 
+_RC_STR = str.maketrans(
+    {c: "N" for c in map(chr, range(128))} | {
+        "A": "T", "C": "G", "G": "C", "T": "A", "N": "N"})
+
+
 def revcomp_str(seq: str) -> str:
-    out = []
-    table = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
-    for ch in reversed(seq):
-        out.append(table.get(ch, "N"))
-    return "".join(out)
+    return seq[::-1].translate(_RC_STR)
 
 
 def matches(read_base: np.ndarray, ref_base: np.ndarray) -> np.ndarray:

@@ -60,6 +60,122 @@ def read_in_specified_region(read: SplitRead, ctx: WindowContext) -> bool:
 
 
 
+class AnchorSoA:
+    """Padded anchor matrices over the candidate reads of one window.
+
+    Close/far anchor chains are fixed after the far-end search, so all
+    seven detectors share one [N, C] / [N, F] struct-of-arrays and batch
+    their pair-selection across reads instead of issuing ~20 small numpy
+    ops per read.  Reads whose chains exceed the caps are flagged ``big``
+    and served by the per-read path.
+    """
+
+    __slots__ = ("n", "rows", "nc", "nf", "cl_len", "cl_loc", "cl_mm",
+                 "fa_len", "fa_loc", "fa_mm", "fa_dm", "valid", "big",
+                 "minus", "rdlen", "max_snp", "cl_loc_first", "cl_loc_last",
+                 "fa_loc_first", "fa_loc_last", "cl_dm0", "cl_sm0",
+                 "fa_dm0", "fa_sm0", "cl_len_last", "cl_mm_last",
+                 "fa_len_last", "fa_mm_last", "fa_dm_last", "c", "f")
+
+    CMAX = 8
+    FMAX = 8
+
+    def __init__(self, pairs):
+        n = self.n = len(pairs)
+        self.rows = np.fromiter((i for i, _ in pairs), np.int64, n)
+        nc = np.empty(n, np.int64)
+        nf = np.empty(n, np.int64)
+        minus = np.empty(n, bool)
+        rdlen = np.empty(n, np.int64)
+        max_snp = np.empty(n, np.int64)
+        for k, (_, r) in enumerate(pairs):
+            nc[k] = len(r.up_close)
+            nf[k] = len(r.up_far)
+            minus[k] = r.matched_d == MINUS
+            rdlen[k] = r.read_length
+            max_snp[k] = r.max_snp_error
+        self.nc, self.nf = nc, nf
+        self.minus, self.rdlen, self.max_snp = minus, rdlen, max_snp
+        self.big = (nc > self.CMAX) | (nf > self.FMAX)
+        c = self.c = int(min(self.CMAX, nc.max() if n else 1))
+        f = self.f = int(min(self.FMAX, nf.max() if n else 1))
+        self.cl_len = np.zeros((n, c), np.int64)
+        self.cl_loc = np.zeros((n, c), np.int64)
+        self.cl_mm = np.full((n, c), _BIG // 4, np.int64)
+        self.fa_len = np.zeros((n, f), np.int64)
+        self.fa_loc = np.zeros((n, f), np.int64)
+        self.fa_mm = np.full((n, f), _BIG // 4, np.int64)
+        self.fa_dm = np.zeros((n, f), bool)
+        self.cl_loc_first = np.zeros(n, np.int64)
+        self.cl_loc_last = np.zeros(n, np.int64)
+        self.fa_loc_first = np.zeros(n, np.int64)
+        self.fa_loc_last = np.zeros(n, np.int64)
+        self.cl_dm0 = np.zeros(n, bool)
+        self.cl_sm0 = np.zeros(n, bool)
+        self.fa_dm0 = np.zeros(n, bool)
+        self.fa_sm0 = np.zeros(n, bool)
+        self.cl_len_last = np.zeros(n, np.int64)
+        self.cl_mm_last = np.zeros(n, np.int64)
+        self.fa_len_last = np.zeros(n, np.int64)
+        self.fa_mm_last = np.zeros(n, np.int64)
+        self.fa_dm_last = np.zeros(n, bool)
+        for k, (_, r) in enumerate(pairs):
+            cl, fa = r.up_close, r.up_far
+            kc = min(len(cl), c)
+            kf = min(len(fa), f)
+            self.cl_len[k, :kc] = cl.length[:kc]
+            self.cl_loc[k, :kc] = cl.loc[:kc]
+            self.cl_mm[k, :kc] = cl.mm[:kc]
+            self.fa_len[k, :kf] = fa.length[:kf]
+            self.fa_loc[k, :kf] = fa.loc[:kf]
+            self.fa_mm[k, :kf] = fa.mm[:kf]
+            self.fa_dm[k, :kf] = fa.dir_minus[:kf]
+            self.cl_loc_first[k] = cl.loc[0]
+            self.cl_loc_last[k] = cl.loc[len(cl) - 1]
+            self.fa_loc_first[k] = fa.loc[0]
+            self.fa_loc_last[k] = fa.loc[len(fa) - 1]
+            self.cl_dm0[k] = cl.dir_minus[0]
+            self.cl_sm0[k] = cl.strand_minus[0]
+            self.fa_dm0[k] = fa.dir_minus[0]
+            self.fa_sm0[k] = fa.strand_minus[0]
+            self.cl_len_last[k] = cl.length[len(cl) - 1]
+            self.cl_mm_last[k] = cl.mm[len(cl) - 1]
+            self.fa_len_last[k] = fa.length[len(fa) - 1]
+            self.fa_mm_last[k] = fa.mm[len(fa) - 1]
+            self.fa_dm_last[k] = fa.dir_minus[len(fa) - 1]
+        ci = np.arange(c, dtype=np.int64)
+        fi = np.arange(f, dtype=np.int64)
+        self.valid = ((ci[None, :, None] < nc[:, None, None])
+                      & (fi[None, None, :] < nf[:, None, None]))
+
+    def used_mask(self, pairs) -> np.ndarray:
+        return np.fromiter((r.used for _, r in pairs), bool, self.n)
+
+    def first_pairs(self, pred: np.ndarray, sel: np.ndarray,
+                    ci_asc: bool, fi_asc: bool):
+        """Batched pick_first_pair: minimize (sum_mm, ci_order, fi_order)
+        over valid pairs passing ``pred`` for every selected read.
+
+        Returns (rows_with_hit, ci, fi) index arrays into the SoA."""
+        n, c, f = self.n, self.c, self.f
+        sum_mm = self.cl_mm[:, :, None] + self.fa_mm[:, None, :]
+        ok = (pred & self.valid & (sum_mm <= self.max_snp[:, None, None])
+              & sel[:, None, None])
+        ci = np.arange(c, dtype=np.int64)
+        fi = np.arange(f, dtype=np.int64)
+        ci_key = ci[None, :, None] if ci_asc \
+            else (self.nc[:, None, None] - 1 - ci[None, :, None])
+        fi_key = fi[None, None, :] if fi_asc \
+            else (self.nf[:, None, None] - 1 - fi[None, None, :])
+        key = sum_mm * (c * f) + ci_key * f + fi_key
+        key = np.where(ok, key, _BIG)
+        flat = key.reshape(n, c * f)
+        best = np.argmin(flat, axis=1)
+        has = flat[np.arange(n), best] < _BIG
+        rows = np.flatnonzero(has)
+        return rows, best[rows] // f, best[rows] % f
+
+
 class CandidateReads:
     """Pre-filtered (index, read) pairs shared by all detectors.
 
@@ -68,11 +184,18 @@ class CandidateReads:
     detector cascade (only ``used`` flips), so the pipeline computes it
     once per window instead of 7x over the full read list."""
 
-    __slots__ = ("pairs",)
+    __slots__ = ("pairs", "_soa")
 
     def __init__(self, reads):
         self.pairs = [(i, r) for i, r in enumerate(reads)
                       if r.up_far and r.frag_name == r.far_frag_name]
+        self._soa = None
+
+    @property
+    def soa(self) -> AnchorSoA:
+        if self._soa is None:
+            self._soa = AnchorSoA(self.pairs)
+        return self._soa
 
 
 # detectors accept either a plain read list or the shared prefilter
@@ -170,47 +293,88 @@ class VariantSearcher:
 
     def search(self, reads: ReadsArg, ctx: WindowContext,
                boxes: List[List[int]]) -> None:
+        if isinstance(reads, CandidateReads) and reads.pairs:
+            self._search_batched(reads, ctx, boxes)
+            return
         chr_len = len(ctx.chr_seq)
         for idx, read in _eligible(reads):
             if read.used:
                 continue
-            cl, fa = _read_anchors(read)
-            far_minus = fa[3]
-            if read.matched_d == PLUS:
-                pred = self.pred1(read, cl, fa) & far_minus[None, :]
-                hit = pick_first_pair(pred, cl[2], fa[2],
-                                      read.max_snp_error,
-                                      ci_asc=True, fi_asc=False)
-            elif read.matched_d == MINUS:
-                pred = self.pred2(read, cl, fa) & ~far_minus[None, :]
-                hit = pick_first_pair(pred, cl[2], fa[2],
-                                      read.max_snp_error,
-                                      ci_asc=False, fi_asc=False)
-            else:
+            self._search_one(read, idx, ctx, boxes, chr_len)
+
+    def _search_batched(self, cand: "CandidateReads", ctx: WindowContext,
+                        boxes: List[List[int]]) -> None:
+        """One batched pair-selection over the whole window (the per-read
+        numpy-op overhead dominated the detector cascade in profiles)."""
+        soa = cand.soa
+        pairs = cand.pairs
+        chr_len = len(ctx.chr_seq)
+        used = soa.used_mask(pairs)
+        fa_dm3 = soa.fa_dm[:, None, :]
+        rows_p, ci_p, fi_p = soa.first_pairs(
+            self.pred1_batch(soa) & fa_dm3,
+            ~used & ~soa.minus & ~soa.big, ci_asc=True, fi_asc=False)
+        rows_m, ci_m, fi_m = soa.first_pairs(
+            self.pred2_batch(soa) & ~fa_dm3,
+            ~used & soa.minus & ~soa.big, ci_asc=False, fi_asc=False)
+        hits = {int(r): (int(c), int(f))
+                for r, c, f in zip(rows_p, ci_p, fi_p)}
+        hits.update((int(r), (int(c), int(f)))
+                    for r, c, f in zip(rows_m, ci_m, fi_m))
+        todo = sorted(hits.keys() | set(np.flatnonzero(soa.big & ~used)))
+        for k in todo:
+            idx, read = pairs[k]
+            if read.used:
                 continue
-            if hit is None:
+            if soa.big[k]:
+                self._search_one(read, idx, ctx, boxes, chr_len)
                 continue
-            ci, fi = hit
-            close_u, far_u = read.up_close[ci], read.up_far[fi]
-            if read.matched_d == PLUS:
-                read.left = close_u.abs_loc - close_u.length_str + 1
-                read.right = far_u.abs_loc + far_u.length_str - 1
-                read.bp = close_u.length_str - 1
-                read.indel_size = self.indel_size(read)
-                read.nt_str = self.inserted_str1(read)
-                read.bp_left = close_u.abs_loc - SPACER
-                read.bp_right = far_u.abs_loc - SPACER
-            else:
-                read.left = far_u.abs_loc - far_u.length_str + 1
-                read.right = close_u.abs_loc + close_u.length_str - 1
-                read.bp = far_u.length_str - 1
-                read.indel_size = self.indel_size(read)
-                read.nt_str = self.inserted_str2(read)
-                read.bp_left = far_u.abs_loc - SPACER
-                read.bp_right = close_u.abs_loc - SPACER
-            self._finish(read, idx, ctx, boxes, chr_len)
-            if not read.used:
-                self._search_read_scalar(read, idx, ctx, boxes, chr_len)
+            self._apply_hit(read, idx, *hits[k], ctx, boxes, chr_len)
+
+    def _apply_hit(self, read: SplitRead, idx: int, ci: int, fi: int,
+                   ctx: WindowContext, boxes: List[List[int]],
+                   chr_len: int) -> None:
+        close_u, far_u = read.up_close[ci], read.up_far[fi]
+        if read.matched_d == PLUS:
+            read.left = close_u.abs_loc - close_u.length_str + 1
+            read.right = far_u.abs_loc + far_u.length_str - 1
+            read.bp = close_u.length_str - 1
+            read.indel_size = self.indel_size(read)
+            read.nt_str = self.inserted_str1(read)
+            read.bp_left = close_u.abs_loc - SPACER
+            read.bp_right = far_u.abs_loc - SPACER
+        else:
+            read.left = far_u.abs_loc - far_u.length_str + 1
+            read.right = close_u.abs_loc + close_u.length_str - 1
+            read.bp = far_u.length_str - 1
+            read.indel_size = self.indel_size(read)
+            read.nt_str = self.inserted_str2(read)
+            read.bp_left = far_u.abs_loc - SPACER
+            read.bp_right = close_u.abs_loc - SPACER
+        self._finish(read, idx, ctx, boxes, chr_len)
+        if not read.used:
+            self._search_read_scalar(read, idx, ctx, boxes, chr_len)
+
+    def _search_one(self, read: SplitRead, idx: int, ctx: WindowContext,
+                    boxes: List[List[int]], chr_len: int) -> None:
+        """Per-read vectorized selection (chains beyond the SoA caps)."""
+        cl, fa = _read_anchors(read)
+        far_minus = fa[3]
+        if read.matched_d == PLUS:
+            pred = self.pred1(read, cl, fa) & far_minus[None, :]
+            hit = pick_first_pair(pred, cl[2], fa[2],
+                                  read.max_snp_error,
+                                  ci_asc=True, fi_asc=False)
+        elif read.matched_d == MINUS:
+            pred = self.pred2(read, cl, fa) & ~far_minus[None, :]
+            hit = pick_first_pair(pred, cl[2], fa[2],
+                                  read.max_snp_error,
+                                  ci_asc=False, fi_asc=False)
+        else:
+            return
+        if hit is None:
+            return
+        self._apply_hit(read, idx, hit[0], hit[1], ctx, boxes, chr_len)
 
     def _search_read_scalar(self, read: SplitRead, idx: int,
                             ctx: WindowContext, boxes: List[List[int]],
@@ -315,6 +479,22 @@ def _real4ins(chr_seq, nt, left, right):
 class SearchDeletions(VariantSearcher):
     """Pure deletions (D).  Reference: searchdeletions.cpp:38-70."""
 
+    def pred1_batch(self, soa: AnchorSoA):
+        cl_len = soa.cl_len[:, :, None]
+        cl_loc = soa.cl_loc[:, :, None]
+        fa_len = soa.fa_len[:, None, :]
+        fa_loc = soa.fa_loc[:, None, :]
+        return ((fa_len + cl_len == soa.rdlen[:, None, None])
+                & (fa_loc > cl_loc + 1))
+
+    def pred2_batch(self, soa: AnchorSoA):
+        cl_len = soa.cl_len[:, :, None]
+        cl_loc = soa.cl_loc[:, :, None]
+        fa_len = soa.fa_len[:, None, :]
+        fa_loc = soa.fa_loc[:, None, :]
+        return ((cl_len + fa_len == soa.rdlen[:, None, None])
+                & (cl_loc > fa_loc + 1))
+
     def pred1(self, read, cl, fa):
         return ((fa[1][None, :] + cl[1][:, None] == read.read_length)
                 & (fa[0][None, :] > cl[0][:, None] + 1))
@@ -349,6 +529,22 @@ class SearchShortInsertions(VariantSearcher):
     Note: the reference leaves NT_size untouched here (0) even though
     NT_str is set — preserved for sort/filter fidelity.
     """
+
+    def pred1_batch(self, soa: AnchorSoA):
+        cl_len = soa.cl_len[:, :, None]
+        cl_loc = soa.cl_loc[:, :, None]
+        fa_len = soa.fa_len[:, None, :]
+        fa_loc = soa.fa_loc[:, None, :]
+        return ((fa_loc == cl_loc + 1)
+                & (cl_len + fa_len < soa.rdlen[:, None, None]))
+
+    def pred2_batch(self, soa: AnchorSoA):
+        cl_len = soa.cl_len[:, :, None]
+        cl_loc = soa.cl_loc[:, :, None]
+        fa_len = soa.fa_len[:, None, :]
+        fa_loc = soa.fa_loc[:, None, :]
+        return ((cl_loc == fa_loc + 1)
+                & (fa_len + cl_len < soa.rdlen[:, None, None]))
 
     def pred1(self, read, cl, fa):
         return ((fa[0][None, :] == cl[0][:, None] + 1)

@@ -63,9 +63,9 @@ class AnchorSet:
 
     @classmethod
     def empty(cls) -> "AnchorSet":
-        z = np.zeros(0, dtype=np.int64)
-        b = np.zeros(0, dtype=bool)
-        return cls(z, z, z, b, b, [], np.zeros(0, dtype=np.int8))
+        # shared immutable singleton: anchor sets are always *replaced*,
+        # never mutated in place, and this is constructed per read
+        return _EMPTY_ANCHORS
 
     @classmethod
     def from_points(cls, ups: List[UniquePoint]) -> "AnchorSet":
@@ -111,6 +111,18 @@ class AnchorSet:
         return AnchorSet(self.length[mask], self.loc[mask], self.mm[mask],
                          self.dir_minus[mask], self.strand_minus[mask],
                          self.chr_names, self.chr_id[mask])
+
+
+def _make_empty_anchors() -> AnchorSet:
+    z = np.zeros(0, dtype=np.int64)
+    b = np.zeros(0, dtype=bool)
+    a = AnchorSet(z, z, z, b, b, [], np.zeros(0, dtype=np.int8))
+    for arr in (a.length, a.loc, a.mm, a.dir_minus, a.strand_minus, a.chr_id):
+        arr.flags.writeable = False
+    return a
+
+
+_EMPTY_ANCHORS = _make_empty_anchors()
 
 
 @dataclasses.dataclass

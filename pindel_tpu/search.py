@@ -104,22 +104,34 @@ def far_end_lanes(read: SplitRead,
     return lanes
 
 
-_TRUE = np.ones(1, dtype=bool)
-_FALSE = np.zeros(1, dtype=bool)
-_ZERO8 = np.zeros(1, dtype=np.int8)
+_POOL_N = 512
+_TRUE_POOL = np.ones(_POOL_N, dtype=bool)
+_FALSE_POOL = np.zeros(_POOL_N, dtype=bool)
+_ZERO8_POOL = np.zeros(_POOL_N, dtype=np.int8)
+for _p in (_TRUE_POOL, _FALSE_POOL, _ZERO8_POOL):
+    _p.flags.writeable = False
+
+
+def _const_bool(value: bool, n: int) -> np.ndarray:
+    pool = _TRUE_POOL if value else _FALSE_POOL
+    if n <= _POOL_N:
+        return pool[:n]
+    return np.full(n, value, dtype=bool)
 
 
 def _anchorset_from_chain(chain, dir_minus: bool, strand_minus: bool,
                           chr_name: str) -> AnchorSet:
     """AnchorSet from a fused-engine ChainDecode (single-lane chain).
 
-    Constant columns are read-only broadcast views (no per-read allocs)."""
+    Constant columns are read-only slices of shared pools (broadcast_to
+    per read showed up as ~15% of host time in profiles)."""
     n = chain.lengths.shape[0]
+    zero8 = _ZERO8_POOL[:n] if n <= _POOL_N else np.zeros(n, np.int8)
     return AnchorSet(chain.lengths, chain.abs_loc,
                      chain.mm.astype(np.int64, copy=False),
-                     np.broadcast_to(_TRUE if dir_minus else _FALSE, (n,)),
-                     np.broadcast_to(_TRUE if strand_minus else _FALSE, (n,)),
-                     [chr_name], np.broadcast_to(_ZERO8, (n,)))
+                     _const_bool(dir_minus, n),
+                     _const_bool(strand_minus, n),
+                     [chr_name], zero8)
 
 
 class Searcher:
