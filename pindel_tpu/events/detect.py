@@ -60,120 +60,148 @@ def read_in_specified_region(read: SplitRead, ctx: WindowContext) -> bool:
 
 
 
-class AnchorSoA:
-    """Padded anchor matrices over the candidate reads of one window.
+# branch codes understood by native/detect.cpp's ptdetect_first_pairs
+BR_D_PLUS, BR_D_MINUS = 0, 1
+BR_SI_PLUS, BR_SI_MINUS = 2, 3
+BR_TD_PLUS, BR_TD_MINUS = 4, 5
+BR_INV_P1, BR_INV_P2, BR_INV_M1, BR_INV_M2 = 6, 7, 8, 9
+BR_SKIP = 255
 
-    Close/far anchor chains are fixed after the far-end search, so all
-    seven detectors share one [N, C] / [N, F] struct-of-arrays and batch
-    their pair-selection across reads instead of issuing ~20 small numpy
-    ops per read.  Reads whose chains exceed the caps are flagged ``big``
-    and served by the per-read path.
+
+def _native_detect():
+    """ctypes handle to native/detect.cpp (None if unavailable)."""
+    global _ND
+    if _ND is False:
+        return None
+    if _ND is None:
+        try:
+            import ctypes
+
+            from pindel_tpu import native
+            lib = native.load("ptdetect", ["detect.cpp"], link=())
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.ptdetect_first_pairs.restype = None
+            lib.ptdetect_first_pairs.argtypes = [
+                ctypes.c_int64, u8p, i64p, i64p, ctypes.c_int64,
+                i64p, i64p, i64p, i64p,
+                i64p, i64p, i64p, i64p, u8p,
+                i32p, i32p]
+        except Exception:
+            _ND = False
+            return None
+        _ND = lib
+    return _ND
+
+
+_ND = None
+
+
+class RaggedAnchors:
+    """Concatenated (ragged) anchor arrays over one window's candidates.
+
+    Anchor chains average dozens of points, so pair selection runs in
+    native code over these flat arrays (native/detect.cpp) instead of a
+    padded cube or per-read numpy calls.  First/last-anchor gathers feed
+    the vectorized detector preconditions.
     """
 
-    __slots__ = ("n", "rows", "nc", "nf", "cl_len", "cl_loc", "cl_mm",
-                 "fa_len", "fa_loc", "fa_mm", "fa_dm", "valid", "big",
-                 "minus", "rdlen", "max_snp", "cl_loc_first", "cl_loc_last",
-                 "fa_loc_first", "fa_loc_last", "cl_dm0", "cl_sm0",
-                 "fa_dm0", "fa_sm0", "cl_len_last", "cl_mm_last",
-                 "fa_len_last", "fa_mm_last", "fa_dm_last", "c", "f")
-
-    CMAX = 8
-    FMAX = 8
+    __slots__ = ("n", "minus", "rdlen", "max_snp",
+                 "cl_off", "cl_len", "cl_loc", "cl_mm",
+                 "fa_off", "fa_len", "fa_loc", "fa_mm", "fa_dm",
+                 "cl_loc0", "cl_locL", "fa_loc0", "fa_locL",
+                 "cl_sm0", "fa_sm0", "cl_dm0", "fa_dm0",
+                 "cl_lenL", "cl_mmL", "fa_lenL", "fa_mmL", "fa_dmL")
 
     def __init__(self, pairs):
         n = self.n = len(pairs)
-        self.rows = np.fromiter((i for i, _ in pairs), np.int64, n)
-        nc = np.empty(n, np.int64)
-        nf = np.empty(n, np.int64)
-        minus = np.empty(n, bool)
-        rdlen = np.empty(n, np.int64)
-        max_snp = np.empty(n, np.int64)
-        for k, (_, r) in enumerate(pairs):
-            nc[k] = len(r.up_close)
-            nf[k] = len(r.up_far)
-            minus[k] = r.matched_d == MINUS
-            rdlen[k] = r.read_length
-            max_snp[k] = r.max_snp_error
-        self.nc, self.nf = nc, nf
-        self.minus, self.rdlen, self.max_snp = minus, rdlen, max_snp
-        self.big = (nc > self.CMAX) | (nf > self.FMAX)
-        c = self.c = int(min(self.CMAX, nc.max() if n else 1))
-        f = self.f = int(min(self.FMAX, nf.max() if n else 1))
-        self.cl_len = np.zeros((n, c), np.int64)
-        self.cl_loc = np.zeros((n, c), np.int64)
-        self.cl_mm = np.full((n, c), _BIG // 4, np.int64)
-        self.fa_len = np.zeros((n, f), np.int64)
-        self.fa_loc = np.zeros((n, f), np.int64)
-        self.fa_mm = np.full((n, f), _BIG // 4, np.int64)
-        self.fa_dm = np.zeros((n, f), bool)
-        self.cl_loc_first = np.zeros(n, np.int64)
-        self.cl_loc_last = np.zeros(n, np.int64)
-        self.fa_loc_first = np.zeros(n, np.int64)
-        self.fa_loc_last = np.zeros(n, np.int64)
-        self.cl_dm0 = np.zeros(n, bool)
-        self.cl_sm0 = np.zeros(n, bool)
-        self.fa_dm0 = np.zeros(n, bool)
-        self.fa_sm0 = np.zeros(n, bool)
-        self.cl_len_last = np.zeros(n, np.int64)
-        self.cl_mm_last = np.zeros(n, np.int64)
-        self.fa_len_last = np.zeros(n, np.int64)
-        self.fa_mm_last = np.zeros(n, np.int64)
-        self.fa_dm_last = np.zeros(n, bool)
+        self.minus = np.fromiter((r.matched_d == MINUS for _, r in pairs),
+                                 bool, n)
+        self.rdlen = np.fromiter((r.read_length for _, r in pairs),
+                                 np.int64, n)
+        self.max_snp = np.fromiter((r.max_snp_error for _, r in pairs),
+                                   np.int64, n)
+        nc = np.fromiter((len(r.up_close) for _, r in pairs), np.int64, n)
+        nf = np.fromiter((len(r.up_far) for _, r in pairs), np.int64, n)
+        self.cl_off = np.zeros(n + 1, np.int64)
+        self.fa_off = np.zeros(n + 1, np.int64)
+        np.cumsum(nc, out=self.cl_off[1:])
+        np.cumsum(nf, out=self.fa_off[1:])
+        tc, tf = int(self.cl_off[n]), int(self.fa_off[n])
+        self.cl_len = np.empty(tc, np.int64)
+        self.cl_loc = np.empty(tc, np.int64)
+        self.cl_mm = np.empty(tc, np.int64)
+        self.fa_len = np.empty(tf, np.int64)
+        self.fa_loc = np.empty(tf, np.int64)
+        self.fa_mm = np.empty(tf, np.int64)
+        self.fa_dm = np.empty(tf, np.uint8)
         for k, (_, r) in enumerate(pairs):
             cl, fa = r.up_close, r.up_far
-            kc = min(len(cl), c)
-            kf = min(len(fa), f)
-            self.cl_len[k, :kc] = cl.length[:kc]
-            self.cl_loc[k, :kc] = cl.loc[:kc]
-            self.cl_mm[k, :kc] = cl.mm[:kc]
-            self.fa_len[k, :kf] = fa.length[:kf]
-            self.fa_loc[k, :kf] = fa.loc[:kf]
-            self.fa_mm[k, :kf] = fa.mm[:kf]
-            self.fa_dm[k, :kf] = fa.dir_minus[:kf]
-            self.cl_loc_first[k] = cl.loc[0]
-            self.cl_loc_last[k] = cl.loc[len(cl) - 1]
-            self.fa_loc_first[k] = fa.loc[0]
-            self.fa_loc_last[k] = fa.loc[len(fa) - 1]
-            self.cl_dm0[k] = cl.dir_minus[0]
-            self.cl_sm0[k] = cl.strand_minus[0]
-            self.fa_dm0[k] = fa.dir_minus[0]
-            self.fa_sm0[k] = fa.strand_minus[0]
-            self.cl_len_last[k] = cl.length[len(cl) - 1]
-            self.cl_mm_last[k] = cl.mm[len(cl) - 1]
-            self.fa_len_last[k] = fa.length[len(fa) - 1]
-            self.fa_mm_last[k] = fa.mm[len(fa) - 1]
-            self.fa_dm_last[k] = fa.dir_minus[len(fa) - 1]
-        ci = np.arange(c, dtype=np.int64)
-        fi = np.arange(f, dtype=np.int64)
-        self.valid = ((ci[None, :, None] < nc[:, None, None])
-                      & (fi[None, None, :] < nf[:, None, None]))
+            c0, c1 = self.cl_off[k], self.cl_off[k + 1]
+            f0, f1 = self.fa_off[k], self.fa_off[k + 1]
+            self.cl_len[c0:c1] = cl.length
+            self.cl_loc[c0:c1] = cl.loc
+            self.cl_mm[c0:c1] = cl.mm
+            self.fa_len[f0:f1] = fa.length
+            self.fa_loc[f0:f1] = fa.loc
+            self.fa_mm[f0:f1] = fa.mm
+            self.fa_dm[f0:f1] = fa.dir_minus
+        first_c = self.cl_off[:-1]
+        last_c = np.maximum(self.cl_off[1:] - 1, 0)
+        first_f = self.fa_off[:-1]
+        last_f = np.maximum(self.fa_off[1:] - 1, 0)
+        self.cl_loc0 = self.cl_loc[first_c]
+        self.cl_locL = self.cl_loc[last_c]
+        self.fa_loc0 = self.fa_loc[first_f]
+        self.fa_locL = self.fa_loc[last_f]
+        self.cl_lenL = self.cl_len[last_c]
+        self.cl_mmL = self.cl_mm[last_c]
+        self.fa_lenL = self.fa_len[last_f]
+        self.fa_mmL = self.fa_mm[last_f]
+        self.fa_dmL = self.fa_dm[last_f].astype(bool)
+        self.fa_dm0 = self.fa_dm[first_f].astype(bool)
+        cl_sm = np.empty(n, bool)
+        cl_dm = np.empty(n, bool)
+        fa_sm = np.empty(n, bool)
+        for k, (_, r) in enumerate(pairs):
+            cl_sm[k] = r.up_close.strand_minus[0]
+            cl_dm[k] = r.up_close.dir_minus[0]
+            fa_sm[k] = r.up_far.strand_minus[0]
+        self.cl_sm0 = cl_sm
+        self.cl_dm0 = cl_dm
+        self.fa_sm0 = fa_sm
 
     def used_mask(self, pairs) -> np.ndarray:
         return np.fromiter((r.used for _, r in pairs), bool, self.n)
 
-    def first_pairs(self, pred: np.ndarray, sel: np.ndarray,
-                    ci_asc: bool, fi_asc: bool):
-        """Batched pick_first_pair: minimize (sum_mm, ci_order, fi_order)
-        over valid pairs passing ``pred`` for every selected read.
+    def first_pairs(self, branch: np.ndarray, min_inv: int = 0):
+        """Native argmin over (sum_mm, ci_order, fi_order) per read under
+        the per-read ``branch`` predicate; rows with branch == BR_SKIP or
+        no qualifying pair get -1."""
+        import ctypes
+        lib = _native_detect()
+        assert lib is not None
+        n = self.n
+        out_ci = np.empty(n, np.int32)
+        out_fi = np.empty(n, np.int32)
 
-        Returns (rows_with_hit, ci, fi) index arrays into the SoA."""
-        n, c, f = self.n, self.c, self.f
-        sum_mm = self.cl_mm[:, :, None] + self.fa_mm[:, None, :]
-        ok = (pred & self.valid & (sum_mm <= self.max_snp[:, None, None])
-              & sel[:, None, None])
-        ci = np.arange(c, dtype=np.int64)
-        fi = np.arange(f, dtype=np.int64)
-        ci_key = ci[None, :, None] if ci_asc \
-            else (self.nc[:, None, None] - 1 - ci[None, :, None])
-        fi_key = fi[None, None, :] if fi_asc \
-            else (self.nf[:, None, None] - 1 - fi[None, None, :])
-        key = sum_mm * (c * f) + ci_key * f + fi_key
-        key = np.where(ok, key, _BIG)
-        flat = key.reshape(n, c * f)
-        best = np.argmin(flat, axis=1)
-        has = flat[np.arange(n), best] < _BIG
-        rows = np.flatnonzero(has)
-        return rows, best[rows] // f, best[rows] % f
+        def p64(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+        def p8(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+        lib.ptdetect_first_pairs(
+            n, p8(branch), p64(self.max_snp), p64(self.rdlen),
+            int(min_inv),
+            p64(self.cl_off), p64(self.cl_len), p64(self.cl_loc),
+            p64(self.cl_mm),
+            p64(self.fa_off), p64(self.fa_len), p64(self.fa_loc),
+            p64(self.fa_mm), p8(self.fa_dm),
+            out_ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_fi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out_ci, out_fi
 
 
 class CandidateReads:
@@ -184,18 +212,18 @@ class CandidateReads:
     detector cascade (only ``used`` flips), so the pipeline computes it
     once per window instead of 7x over the full read list."""
 
-    __slots__ = ("pairs", "_soa")
+    __slots__ = ("pairs", "_ragged")
 
     def __init__(self, reads):
         self.pairs = [(i, r) for i, r in enumerate(reads)
                       if r.up_far and r.frag_name == r.far_frag_name]
-        self._soa = None
+        self._ragged = None
 
     @property
-    def soa(self) -> AnchorSoA:
-        if self._soa is None:
-            self._soa = AnchorSoA(self.pairs)
-        return self._soa
+    def ragged(self) -> RaggedAnchors:
+        if self._ragged is None:
+            self._ragged = RaggedAnchors(self.pairs)
+        return self._ragged
 
 
 # detectors accept either a plain read list or the shared prefilter
@@ -291,9 +319,13 @@ class VariantSearcher:
     def pred2(self, read, cl, fa) -> np.ndarray:
         raise NotImplementedError
 
+    # native branch codes (plus-anchor, minus-anchor); set by subclasses
+    BR = (BR_SKIP, BR_SKIP)
+
     def search(self, reads: ReadsArg, ctx: WindowContext,
                boxes: List[List[int]]) -> None:
-        if isinstance(reads, CandidateReads) and reads.pairs:
+        if (isinstance(reads, CandidateReads) and reads.pairs
+                and _native_detect() is not None):
             self._search_batched(reads, ctx, boxes)
             return
         chr_len = len(ctx.chr_seq)
@@ -304,32 +336,22 @@ class VariantSearcher:
 
     def _search_batched(self, cand: "CandidateReads", ctx: WindowContext,
                         boxes: List[List[int]]) -> None:
-        """One batched pair-selection over the whole window (the per-read
-        numpy-op overhead dominated the detector cascade in profiles)."""
-        soa = cand.soa
+        """One native ragged pair-selection over the whole window (the
+        per-read pair loops dominated the detector cascade in profiles)."""
+        ra = cand.ragged
         pairs = cand.pairs
         chr_len = len(ctx.chr_seq)
-        used = soa.used_mask(pairs)
-        fa_dm3 = soa.fa_dm[:, None, :]
-        rows_p, ci_p, fi_p = soa.first_pairs(
-            self.pred1_batch(soa) & fa_dm3,
-            ~used & ~soa.minus & ~soa.big, ci_asc=True, fi_asc=False)
-        rows_m, ci_m, fi_m = soa.first_pairs(
-            self.pred2_batch(soa) & ~fa_dm3,
-            ~used & soa.minus & ~soa.big, ci_asc=False, fi_asc=False)
-        hits = {int(r): (int(c), int(f))
-                for r, c, f in zip(rows_p, ci_p, fi_p)}
-        hits.update((int(r), (int(c), int(f)))
-                    for r, c, f in zip(rows_m, ci_m, fi_m))
-        todo = sorted(hits.keys() | set(np.flatnonzero(soa.big & ~used)))
-        for k in todo:
+        used = ra.used_mask(pairs)
+        branch = np.full(ra.n, BR_SKIP, np.uint8)
+        branch[~used & ~ra.minus] = self.BR[0]
+        branch[~used & ra.minus] = self.BR[1]
+        ci, fi = ra.first_pairs(branch)
+        for k in np.flatnonzero(ci >= 0):
             idx, read = pairs[k]
             if read.used:
                 continue
-            if soa.big[k]:
-                self._search_one(read, idx, ctx, boxes, chr_len)
-                continue
-            self._apply_hit(read, idx, *hits[k], ctx, boxes, chr_len)
+            self._apply_hit(read, idx, int(ci[k]), int(fi[k]), ctx, boxes,
+                            chr_len)
 
     def _apply_hit(self, read: SplitRead, idx: int, ci: int, fi: int,
                    ctx: WindowContext, boxes: List[List[int]],
@@ -479,21 +501,7 @@ def _real4ins(chr_seq, nt, left, right):
 class SearchDeletions(VariantSearcher):
     """Pure deletions (D).  Reference: searchdeletions.cpp:38-70."""
 
-    def pred1_batch(self, soa: AnchorSoA):
-        cl_len = soa.cl_len[:, :, None]
-        cl_loc = soa.cl_loc[:, :, None]
-        fa_len = soa.fa_len[:, None, :]
-        fa_loc = soa.fa_loc[:, None, :]
-        return ((fa_len + cl_len == soa.rdlen[:, None, None])
-                & (fa_loc > cl_loc + 1))
-
-    def pred2_batch(self, soa: AnchorSoA):
-        cl_len = soa.cl_len[:, :, None]
-        cl_loc = soa.cl_loc[:, :, None]
-        fa_len = soa.fa_len[:, None, :]
-        fa_loc = soa.fa_loc[:, None, :]
-        return ((cl_len + fa_len == soa.rdlen[:, None, None])
-                & (cl_loc > fa_loc + 1))
+    BR = (BR_D_PLUS, BR_D_MINUS)
 
     def pred1(self, read, cl, fa):
         return ((fa[1][None, :] + cl[1][:, None] == read.read_length)
@@ -530,21 +538,7 @@ class SearchShortInsertions(VariantSearcher):
     NT_str is set — preserved for sort/filter fidelity.
     """
 
-    def pred1_batch(self, soa: AnchorSoA):
-        cl_len = soa.cl_len[:, :, None]
-        cl_loc = soa.cl_loc[:, :, None]
-        fa_len = soa.fa_len[:, None, :]
-        fa_loc = soa.fa_loc[:, None, :]
-        return ((fa_loc == cl_loc + 1)
-                & (cl_len + fa_len < soa.rdlen[:, None, None]))
-
-    def pred2_batch(self, soa: AnchorSoA):
-        cl_len = soa.cl_len[:, :, None]
-        cl_loc = soa.cl_loc[:, :, None]
-        fa_len = soa.fa_len[:, None, :]
-        fa_loc = soa.fa_loc[:, None, :]
-        return ((cl_loc == fa_loc + 1)
-                & (fa_len + cl_len < soa.rdlen[:, None, None]))
+    BR = (BR_SI_PLUS, BR_SI_MINUS)
 
     def pred1(self, read, cl, fa):
         return ((fa[0][None, :] == cl[0][:, None] + 1)
@@ -634,7 +628,23 @@ def search_tandem_duplications(reads: ReadsArg, ctx: WindowContext,
                                boxes: List[List[int]]) -> None:
     """Reference: searchTandemDuplications (search_tandem_duplications.cpp).
 
-    Vectorized pair selection with the reference loop as fallback."""
+    Native ragged pair selection when available; per-read vectorized
+    selection otherwise, with the reference loop as placement fallback."""
+    if (isinstance(reads, CandidateReads) and reads.pairs
+            and _native_detect() is not None):
+        ra = reads.ragged
+        pairs = reads.pairs
+        used = ra.used_mask(pairs)
+        branch = np.full(ra.n, BR_SKIP, np.uint8)
+        branch[~used & ~ra.minus] = BR_TD_PLUS
+        branch[~used & ra.minus] = BR_TD_MINUS
+        ci_a, fi_a = ra.first_pairs(branch)
+        for k in np.flatnonzero(ci_a >= 0):
+            idx, read = pairs[k]
+            if read.used:
+                continue
+            _td_apply_hit(read, idx, int(ci_a[k]), int(fi_a[k]), ctx, boxes)
+        return
     for idx, read in _eligible(reads):
         if read.used:
             continue
@@ -658,28 +668,32 @@ def search_tandem_duplications(reads: ReadsArg, ctx: WindowContext,
             continue
         if hit is None:
             continue
-        ci, fi = hit
-        close_u, far_u = read.up_close[ci], read.up_far[fi]
-        if read.matched_d == PLUS:
-            read.right = close_u.abs_loc - close_u.length_str + 1
-            read.left = far_u.abs_loc + far_u.length_str - 1
-            read.bp = close_u.length_str - 1
-            read.indel_size = close_u.abs_loc - far_u.abs_loc + 1
-            read.bp_right = close_u.abs_loc - SPACER
-            read.bp_left = far_u.abs_loc - SPACER
-        else:
-            read.right = far_u.abs_loc - far_u.length_str + 1
-            read.left = close_u.abs_loc + close_u.length_str - 1
-            read.bp = far_u.length_str - 1
-            read.indel_size = far_u.abs_loc - close_u.abs_loc + 1
-            read.bp_right = far_u.abs_loc - SPACER
-            read.bp_left = close_u.abs_loc - SPACER
-        if read.bp_left != 0:
-            left_most_td(read, ctx)
-            if not read.used:
-                _place_read(read, idx, ctx, boxes)
+        _td_apply_hit(read, idx, hit[0], hit[1], ctx, boxes)
+
+
+def _td_apply_hit(read: SplitRead, idx: int, ci: int, fi: int,
+                  ctx: WindowContext, boxes: List[List[int]]) -> None:
+    close_u, far_u = read.up_close[ci], read.up_far[fi]
+    if read.matched_d == PLUS:
+        read.right = close_u.abs_loc - close_u.length_str + 1
+        read.left = far_u.abs_loc + far_u.length_str - 1
+        read.bp = close_u.length_str - 1
+        read.indel_size = close_u.abs_loc - far_u.abs_loc + 1
+        read.bp_right = close_u.abs_loc - SPACER
+        read.bp_left = far_u.abs_loc - SPACER
+    else:
+        read.right = far_u.abs_loc - far_u.length_str + 1
+        read.left = close_u.abs_loc + close_u.length_str - 1
+        read.bp = far_u.length_str - 1
+        read.indel_size = far_u.abs_loc - close_u.abs_loc + 1
+        read.bp_right = far_u.abs_loc - SPACER
+        read.bp_left = close_u.abs_loc - SPACER
+    if read.bp_left != 0:
+        left_most_td(read, ctx)
         if not read.used:
-            _td_scalar_read(read, idx, ctx, boxes)
+            _place_read(read, idx, ctx, boxes)
+    if not read.used:
+        _td_scalar_read(read, idx, ctx, boxes)
 
 
 def _td_scalar_read(read: SplitRead, idx: int, ctx: WindowContext,
@@ -758,12 +772,32 @@ def _td_scalar_read(read: SplitRead, idx: int, ctx: WindowContext,
                         _place_read(read, idx, ctx, boxes)
 
 
+def _nt_prefilter(reads: ReadsArg, settings: Settings, extra=None):
+    """Last-anchor numpy prefilter shared by the NT detectors: the
+    detectors below only consult up_close[-1]/up_far[-1], so the mismatch
+    ceiling (and any ``extra(ra)`` mask) eliminates most reads in one
+    vectorized pass; survivors re-run the exact per-read logic."""
+    if not isinstance(reads, CandidateReads) or not reads.pairs:
+        return _eligible(reads)
+    ra = reads.ragged
+    pairs = reads.pairs
+    lens = ra.fa_lenL + ra.cl_lenL
+    ceil = (1 + settings.seq_error_rate * lens).astype(np.int64)
+    keep = ~ra.used_mask(pairs) & (ra.fa_mmL + ra.cl_mmL <= ceil)
+    if extra is not None:
+        keep &= extra(ra)
+    return [pairs[k] for k in np.flatnonzero(keep)]
+
+
 def search_tandem_duplications_nt(reads: ReadsArg, ctx: WindowContext,
                                   boxes: List[List[int]],
                                   settings: Settings) -> None:
     """Reference: searchTandemDuplicationsNT
     (search_tandem_duplications_nt.cpp:27-131)."""
-    for idx, read in _eligible(reads):
+    cand = _nt_prefilter(
+        reads, settings,
+        extra=lambda ra: ra.fa_lenL + ra.cl_lenL < ra.rdlen)
+    for idx, read in cand:
         if read.used:
             continue
         close = read.up_close[-1]
@@ -827,8 +861,38 @@ def search_inversions(reads: ReadsArg, ctx: WindowContext,
                       boxes: List[List[int]], settings: Settings) -> None:
     """Reference: searchInversions (search_inversions.cpp:30-280).
 
-    Vectorized pair selection; reference loop as fallback."""
+    Native ragged pair selection when available (branch preconditions
+    vectorized over the first/last-anchor gathers); per-read vectorized
+    selection otherwise; reference loop as placement fallback."""
     min_inv = settings.min_inversion_size
+    if (isinstance(reads, CandidateReads) and reads.pairs
+            and _native_detect() is not None):
+        ra = reads.ragged
+        pairs = reads.pairs
+        used = ra.used_mask(pairs)
+        elig = (~used & (ra.cl_sm0 != ra.fa_sm0)
+                & (ra.cl_dm0 == ra.fa_dm0))
+        p1 = elig & ~ra.minus & (ra.fa_loc0 > ra.cl_locL + min_inv)
+        p2 = (elig & ~ra.minus & ~p1
+              & (ra.fa_locL + min_inv < ra.cl_loc0))
+        m1 = elig & ra.minus & (ra.cl_locL > ra.fa_loc0 + min_inv)
+        m2 = (elig & ra.minus & ~m1
+              & (ra.cl_loc0 + min_inv < ra.fa_locL))
+        branch = np.full(ra.n, BR_SKIP, np.uint8)
+        branch[p1] = BR_INV_P1
+        branch[p2] = BR_INV_P2
+        branch[m1] = BR_INV_M1
+        branch[m2] = BR_INV_M2
+        ci_a, fi_a = ra.first_pairs(branch, min_inv=min_inv)
+        names = {BR_INV_P1: "p1", BR_INV_P2: "p2",
+                 BR_INV_M1: "m1", BR_INV_M2: "m2"}
+        for k in np.flatnonzero(ci_a >= 0):
+            idx, read = pairs[k]
+            if read.used:
+                continue
+            _inv_apply_hit(read, idx, names[int(branch[k])], int(ci_a[k]),
+                           int(fi_a[k]), ctx, boxes, settings)
+        return
     for idx, read in _eligible(reads):
         if read.used:
             continue
@@ -868,46 +932,53 @@ def search_inversions(reads: ReadsArg, ctx: WindowContext,
                 branch = "m2"
         if hit is None:
             continue
-        ci, fi = hit
-        close_u, far_u = read.up_close[ci], read.up_far[fi]
-        read.nt_str = ""
-        read.nt_size = 0
-        if branch == "p1":
-            read.left = (close_u.abs_loc + 1) - close_u.length_str
-            read.right = far_u.abs_loc - far_u.length_str + L
-            read.bp = close_u.length_str - 1
-            read.indel_size = far_u.abs_loc - close_u.abs_loc
-            read.bp_left = close_u.abs_loc + 1 - SPACER
-            read.bp_right = far_u.abs_loc - SPACER
-        elif branch == "p2":
-            read.right = close_u.abs_loc - close_u.length_str + L
-            read.left = far_u.abs_loc - far_u.length_str + 1
-            read.bp = far_u.length_str - 1
-            read.indel_size = close_u.abs_loc - far_u.abs_loc
-            read.bp_right = close_u.abs_loc - SPACER
-            read.bp_left = (far_u.abs_loc + 1) - SPACER
-        elif branch == "m1":
-            read.left = far_u.abs_loc + far_u.length_str - L
-            read.right = close_u.abs_loc + close_u.length_str - 1
-            read.bp = far_u.length_str - 1
-            read.indel_size = close_u.abs_loc - far_u.abs_loc
-            read.bp_left = far_u.abs_loc - SPACER
-            read.bp_right = close_u.abs_loc - 1 - SPACER
+        _inv_apply_hit(read, idx, branch, hit[0], hit[1], ctx, boxes,
+                       settings)
+
+
+def _inv_apply_hit(read: SplitRead, idx: int, branch: str, ci: int, fi: int,
+                   ctx: WindowContext, boxes: List[List[int]],
+                   settings: Settings) -> None:
+    L = read.read_length
+    close_u, far_u = read.up_close[ci], read.up_far[fi]
+    read.nt_str = ""
+    read.nt_size = 0
+    if branch == "p1":
+        read.left = (close_u.abs_loc + 1) - close_u.length_str
+        read.right = far_u.abs_loc - far_u.length_str + L
+        read.bp = close_u.length_str - 1
+        read.indel_size = far_u.abs_loc - close_u.abs_loc
+        read.bp_left = close_u.abs_loc + 1 - SPACER
+        read.bp_right = far_u.abs_loc - SPACER
+    elif branch == "p2":
+        read.right = close_u.abs_loc - close_u.length_str + L
+        read.left = far_u.abs_loc - far_u.length_str + 1
+        read.bp = far_u.length_str - 1
+        read.indel_size = close_u.abs_loc - far_u.abs_loc
+        read.bp_right = close_u.abs_loc - SPACER
+        read.bp_left = (far_u.abs_loc + 1) - SPACER
+    elif branch == "m1":
+        read.left = far_u.abs_loc + far_u.length_str - L
+        read.right = close_u.abs_loc + close_u.length_str - 1
+        read.bp = far_u.length_str - 1
+        read.indel_size = close_u.abs_loc - far_u.abs_loc
+        read.bp_left = far_u.abs_loc - SPACER
+        read.bp_right = close_u.abs_loc - 1 - SPACER
+    else:
+        read.right = far_u.abs_loc + far_u.length_str - 1
+        read.left = close_u.abs_loc + close_u.length_str - L
+        read.bp = close_u.length_str - 1
+        read.indel_size = far_u.abs_loc - close_u.abs_loc
+        read.bp_left = close_u.abs_loc - SPACER
+        read.bp_right = far_u.abs_loc - 1 - SPACER
+    left_most_inv(read, ctx)
+    if not read.used:
+        if branch in ("p1", "p2"):
+            _place_read(read, idx, ctx, boxes)
         else:
-            read.right = far_u.abs_loc + far_u.length_str - 1
-            read.left = close_u.abs_loc + close_u.length_str - L
-            read.bp = close_u.length_str - 1
-            read.indel_size = far_u.abs_loc - close_u.abs_loc
-            read.bp_left = close_u.abs_loc - SPACER
-            read.bp_right = far_u.abs_loc - 1 - SPACER
-        left_most_inv(read, ctx)
-        if not read.used:
-            if branch in ("p1", "p2"):
-                _place_read(read, idx, ctx, boxes)
-            else:
-                _place_no_transgress(read, idx, ctx, boxes)
-        if not read.used:
-            _inv_scalar_read(read, idx, ctx, boxes, settings)
+            _place_no_transgress(read, idx, ctx, boxes)
+    if not read.used:
+        _inv_scalar_read(read, idx, ctx, boxes, settings)
 
 
 def _inv_scalar_read(read: SplitRead, idx: int, ctx: WindowContext,
@@ -1067,7 +1138,13 @@ def search_inversions_nt(reads: ReadsArg, ctx: WindowContext,
     """Reference: searchInversionsNT (search_inversions_nt.cpp:30-200)."""
     min_inv = settings.min_inversion_size
     mnmb = settings.min_num_matched_bases
-    for idx, read in _eligible(reads):
+    cand = _nt_prefilter(
+        reads, settings,
+        extra=lambda ra: ((ra.cl_sm0 != ra.fa_sm0)
+                          & (ra.cl_dm0 == ra.fa_dm0)
+                          & (ra.fa_lenL + ra.cl_lenL < ra.rdlen)
+                          & (ra.fa_lenL + ra.cl_lenL >= mnmb)))
+    for idx, read in cand:
         if read.used:
             continue
         close = read.up_close[-1]
@@ -1148,7 +1225,12 @@ def search_indels_nt(reads: ReadsArg, ctx: WindowContext,
     last (longest) close and far anchors are considered, with a
     length-scaled mismatch ceiling.
     """
-    for idx, read in _eligible(reads):
+    mnmb = settings.min_num_matched_bases
+    cand = _nt_prefilter(
+        reads, settings,
+        extra=lambda ra: ((ra.fa_lenL + ra.cl_lenL < ra.rdlen)
+                          & (ra.fa_lenL + ra.cl_lenL >= mnmb)))
+    for idx, read in cand:
         if read.used:
             continue
         close = read.up_close[-1]

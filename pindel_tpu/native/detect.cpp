@@ -1,0 +1,148 @@
+// Native anchor-pair selection for the event detectors (C ABI, ctypes).
+//
+// For each candidate read, the reference detectors scan close x far anchor
+// pairs under an escalating mismatch budget and take the first pair passing
+// a geometry predicate (SearchVariant::Search, search_variant.cpp:48-266;
+// searchTandemDuplications, search_tandem_duplications.cpp:28-187;
+// searchInversions, search_inversions.cpp:30-280).  The first hit of those
+// loops minimizes the lexicographic key
+//     (close.mm + far.mm, ci_order, fi_order)
+// over pairs passing the predicate, where ci/fi_order follow each branch's
+// scan direction — so one argmin pass over the ragged anchor arrays is
+// bit-equivalent and replaces ~1600 Python-level pair checks per read.
+//
+// Anchor chains arrive as ragged struct-of-arrays (offsets + concatenated
+// fields); the per-read branch code is chosen by the Python caller (it
+// encodes matched strand and, for inversions, the precondition branch).
+
+#include <cstdint>
+
+namespace {
+
+struct Best {
+  int64_t summ;
+  int64_t ckey;
+  int64_t fkey;
+  int32_t ci;
+  int32_t fi;
+};
+
+inline void consider(Best& b, int64_t summ, int64_t ckey, int64_t fkey,
+                     int32_t ci, int32_t fi) {
+  if (summ < b.summ || (summ == b.summ && (ckey < b.ckey ||
+      (ckey == b.ckey && fkey < b.fkey)))) {
+    b.summ = summ;
+    b.ckey = ckey;
+    b.fkey = fkey;
+    b.ci = ci;
+    b.fi = fi;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Branch codes (see events/detect.py): 0 D+, 1 D-, 2 SI+, 3 SI-, 4 TD+,
+// 5 TD-, 6 INVp1, 7 INVp2, 8 INVm1, 9 INVm2; 255 = skip this read.
+//
+// cl_off/fa_off: [n+1] prefix offsets into the concatenated anchor arrays.
+// Outputs out_ci/out_fi get -1 when no pair qualifies.
+void ptdetect_first_pairs(
+    int64_t n, const uint8_t* branch, const int64_t* max_snp,
+    const int64_t* rdlen, int64_t min_inv,
+    const int64_t* cl_off, const int64_t* cl_len, const int64_t* cl_loc,
+    const int64_t* cl_mm,
+    const int64_t* fa_off, const int64_t* fa_len, const int64_t* fa_loc,
+    const int64_t* fa_mm, const uint8_t* fa_dm,
+    int32_t* out_ci, int32_t* out_fi) {
+  const int64_t kBig = INT64_MAX;
+  for (int64_t i = 0; i < n; i++) {
+    out_ci[i] = -1;
+    out_fi[i] = -1;
+    const uint8_t br = branch[i];
+    if (br > 9) continue;
+    const int64_t c0 = cl_off[i], c1 = cl_off[i + 1];
+    const int64_t f0 = fa_off[i], f1 = fa_off[i + 1];
+    const int64_t nc = c1 - c0, nf = f1 - f0;
+    if (nc == 0 || nf == 0) continue;
+    const int64_t L = rdlen[i];
+    const int64_t budget = max_snp[i];
+    // scan orders per branch (ci ascending?, fi ascending?)
+    bool ci_asc, fi_asc;
+    switch (br) {
+      case 0: case 2: case 4: case 7: case 9:
+        ci_asc = true;  fi_asc = false; break;
+      case 5: case 6: case 8:
+        ci_asc = false; fi_asc = true;  break;
+      default:  // 1, 3
+        ci_asc = false; fi_asc = false; break;
+    }
+    // inversions / TD- require far dir '+', D+/SI+/TD+ require '-', etc.
+    // encoded below per branch as want_dm.
+    bool want_dm;
+    switch (br) {
+      case 0: case 2: case 4: case 8: case 9: want_dm = true; break;
+      default: want_dm = false; break;
+    }
+    Best best{kBig, kBig, kBig, -1, -1};
+    for (int64_t c = 0; c < nc; c++) {
+      const int64_t clen = cl_len[c0 + c];
+      const int64_t cloc = cl_loc[c0 + c];
+      const int64_t cmm = cl_mm[c0 + c];
+      if (cmm > budget) continue;
+      const int64_t ckey = ci_asc ? c : (nc - 1 - c);
+      for (int64_t f = 0; f < nf; f++) {
+        if ((fa_dm[f0 + f] != 0) != want_dm) continue;
+        const int64_t fmm = fa_mm[f0 + f];
+        const int64_t summ = cmm + fmm;
+        if (summ > budget) continue;
+        const int64_t flen = fa_len[f0 + f];
+        const int64_t floc = fa_loc[f0 + f];
+        bool ok;
+        switch (br) {
+          case 0:  // D, '+' anchor (searchdeletions.cpp:38-48)
+            ok = (flen + clen == L) && (floc > cloc + 1);
+            break;
+          case 1:  // D, '-'
+            ok = (clen + flen == L) && (cloc > floc + 1);
+            break;
+          case 2:  // SI, '+' (searchshortinsertions.cpp:38-48)
+            ok = (floc == cloc + 1) && (clen + flen < L);
+            break;
+          case 3:  // SI, '-'
+            ok = (cloc == floc + 1) && (flen + clen < L);
+            break;
+          case 4:  // TD, '+' (search_tandem_duplications.cpp:60-96)
+            ok = (flen + clen == L) && (floc + flen < cloc) &&
+                 (floc + clen < cloc);
+            break;
+          case 5:  // TD, '-'
+            ok = (clen + flen == L) && (cloc + clen < floc) &&
+                 (cloc + flen < floc);
+            break;
+          case 6:  // INV '+' far-downstream (search_inversions.cpp:50-128)
+            ok = (clen + flen == L) && (floc > cloc + min_inv);
+            break;
+          case 7:  // INV '+' far-upstream
+            ok = (clen + flen == L) && (floc + min_inv < cloc);
+            break;
+          case 8:  // INV '-' close-downstream
+            ok = (clen + flen == L) && (cloc > floc + min_inv);
+            break;
+          default:  // 9: INV '-' close-upstream
+            ok = (clen + flen == L) && (cloc + min_inv < floc);
+            break;
+        }
+        if (!ok) continue;
+        const int64_t fkey = fi_asc ? f : (nf - 1 - f);
+        consider(best, summ, ckey, fkey, static_cast<int32_t>(c),
+                 static_cast<int32_t>(f));
+      }
+    }
+    out_ci[i] = best.ci;
+    out_fi[i] = best.fi;
+  }
+}
+
+}  // extern "C"

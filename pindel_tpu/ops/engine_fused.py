@@ -586,22 +586,45 @@ class FusedJaxBackend:
         thr = np.ceil(ma).astype(np.int32)
         return ms, tm, thr
 
+    @staticmethod
+    def _pack_codes(reads, nb: int, b: int, lmax: int) -> np.ndarray:
+        """[b, lmax] int8 base codes for a read chunk in one encode pass
+        (the per-read slice-assignment loop was a profile hotspot)."""
+        qlen = np.fromiter((r.read_length for r in reads), np.int64, nb)
+        flat = dna.encode("".join(r.seq for r in reads))
+        offs = np.zeros(nb, np.int64)
+        np.cumsum(qlen[:-1], out=offs[1:])
+        li = np.arange(lmax, dtype=np.int64)[None, :]
+        valid = li < qlen[:, None]
+        codes = np.full((b, lmax), dna.N, np.int8)
+        codes[:nb][valid] = flat[(offs[:, None] + li)[valid]]
+        return codes
+
     # ------------------------------------------------------------- close
     def close_ends(self, reads, bp_start: int):
         """Run the 4-attempt close-end schedule for all reads.
 
         Returns per read: (chain: Optional[ChainDecode], winner attempt
         0..3 or -1, needs_fallback: bool).
+
+        Chunks are dispatched asynchronously up front (JAX dispatch does
+        not block), then decoded in order — host pack/decode of chunk i
+        overlaps device execution of chunk i+1.
         """
         n = len(reads)
         results: List[Tuple[Optional[ChainDecode], int, bool]] = \
             [(None, -1, False)] * n
+        pending = []
         for lo in range(0, n, self.B_BUCKETS[-1]):
             hi = min(lo + self.B_BUCKETS[-1], n)
-            self._close_chunk(reads[lo:hi], lo, results, bp_start)
+            pending.append(
+                self._close_dispatch(reads[lo:hi], lo, results, bp_start))
+        for st in pending:
+            if st is not None:
+                self._close_decode(st, results)
         return results
 
-    def _close_chunk(self, reads, base: int, results, bp_start: int):
+    def _close_dispatch(self, reads, base: int, results, bp_start: int):
         from pindel_tpu.genome import SPACER
         from pindel_tpu.profiling import g_timer
         t0 = time.monotonic()
@@ -610,12 +633,11 @@ class FusedJaxBackend:
         qlen = np.zeros(b, np.int32)
         qlen[:nb] = [r.read_length for r in reads]
         lmax = _round_up(max(int(qlen.max()), 8), 128)
-        codes = np.full((b, lmax), dna.N, np.int8)
+        codes = self._pack_codes(reads, nb, b, lmax)
         minus = np.zeros(b, bool)
         pos = np.zeros(b, np.int64)
         isz = np.zeros(b, np.int64)
         for i, r in enumerate(reads):
-            codes[i, :r.read_length] = r.seq_codes()
             minus[i] = r.matched_d == "-"
             pos[i] = r.matched_rel_pos
             isz[i] = r.insert_size
@@ -644,15 +666,26 @@ class FusedJaxBackend:
 
         t1 = time.monotonic()
         g_timer.add("fused: pack close", t1 - t0)
-        emit_bits, rep_w, winner, uniform = jax.device_get(self._close_call(
+        dev = self._close_call(
             self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
             jnp.asarray(minus), jnp.asarray(win32[0]),
             jnp.asarray(win32[1]), jnp.asarray(ms), jnp.asarray(tm),
             self.maxmm_dev, jnp.asarray(thr),
             w0=w0, w1=w1, lmax=lmax, mpm=self.mpm, bp_start=bp_start,
-            lsteps=_round_up(int(qlen[:nb].max()), 16)))
+            lsteps=_round_up(int(qlen[:nb].max()), 16))
+        g_timer.add("fused: dispatch close", time.monotonic() - t1)
+        return dict(dev=dev, base=base, nb=nb, b=b, qlen=qlen, codes=codes,
+                    minus=minus, win=win, w0=w0, w1=w1, lmax=lmax)
+
+    def _close_decode(self, st, results):
+        from pindel_tpu.profiling import g_timer
+        base, nb = st["base"], st["nb"]
+        qlen, codes, minus = st["qlen"], st["codes"], st["minus"]
+        win, w0, w1, lmax = st["win"], st["w0"], st["w1"], st["lmax"]
+        t1 = time.monotonic()
+        emit_bits, rep_w, winner, uniform = jax.device_get(st["dev"])
         t2 = time.monotonic()
-        g_timer.add(f"fused: close kernel+xfer w={w0}/{w1} b={b}", t2 - t1)
+        g_timer.add(f"fused: close wait w={w0}/{w1} b={st['b']}", t2 - t1)
 
         emit_bits = emit_bits[:nb]
         rep_w = np.asarray(rep_w[:nb], np.int64)
@@ -709,14 +742,17 @@ class FusedJaxBackend:
         n = len(reads)
         results: List[Tuple[Optional[ChainDecode], bool, bool, bool]] = \
             [(None, False, False, False)] * n
+        pending = []
         for lo in range(0, n, self.B_BUCKETS[-1]):
             hi = min(lo + self.B_BUCKETS[-1], n)
-            self._far_chunk(reads[lo:hi], lo, results, spans, comp_size,
-                            bp_start)
+            pending.append(self._far_dispatch(reads[lo:hi], lo, spans,
+                                              comp_size, bp_start))
+        for st in pending:
+            self._far_decode(st, results)
         return results
 
-    def _far_chunk(self, reads, base: int, results, spans, comp_size,
-                   bp_start: int):
+    def _far_dispatch(self, reads, base: int, spans, comp_size,
+                      bp_start: int):
         from pindel_tpu.genome import SPACER
         from pindel_tpu.profiling import g_timer
         t0 = time.monotonic()
@@ -726,13 +762,12 @@ class FusedJaxBackend:
         qlen = np.zeros(b, np.int32)
         qlen[:nb] = [r.read_length for r in reads]
         lmax = _round_up(max(int(qlen.max()), 8), 128)
-        codes = np.full((b, lmax), dna.N, np.int8)
+        # current (maybe close-end-flipped) sequences, one encode pass
+        codes = self._pack_codes(reads, nb, b, lmax)
         close_max = np.zeros(b, np.int32)
         init_max = np.zeros(b, np.int32)
         center = np.zeros(b, np.int64)
         for i, r in enumerate(reads):
-            cod = r.seq_codes()              # current (maybe flipped) seq
-            codes[i, :cod.shape[0]] = cod
             close_max[i] = r.max_len_close()
             init_max[i] = r.max_len_far()
             center[i] = r.last_abs_loc_close_end()
@@ -752,16 +787,26 @@ class FusedJaxBackend:
 
         t1 = time.monotonic()
         g_timer.add("fused: pack far", t1 - t0)
-        emit_bits, rep, uni, win_round, replaced = jax.device_get(
-            self._far_call(
-                self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
-                jnp.asarray(close_max), jnp.asarray(init_max),
-                jnp.asarray(wins.astype(np.int32)), jnp.asarray(ms),
-                jnp.asarray(tm), self.maxmm_dev, jnp.asarray(thr),
-                ws=tuple(ws), lmax=lmax, mpm=self.mpm, bp_start=bp_start,
-                lsteps=_round_up(int(qlen[:nb].max()), 16)))
+        dev = self._far_call(
+            self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
+            jnp.asarray(close_max), jnp.asarray(init_max),
+            jnp.asarray(wins.astype(np.int32)), jnp.asarray(ms),
+            jnp.asarray(tm), self.maxmm_dev, jnp.asarray(thr),
+            ws=tuple(ws), lmax=lmax, mpm=self.mpm, bp_start=bp_start,
+            lsteps=_round_up(int(qlen[:nb].max()), 16))
+        g_timer.add("fused: dispatch far", time.monotonic() - t1)
+        return dict(dev=dev, base=base, nb=nb, b=b, qlen=qlen, codes=codes,
+                    wins=wins, ws=ws, lmax=lmax)
+
+    def _far_decode(self, st, results):
+        from pindel_tpu.profiling import g_timer
+        base, nb, lmax = st["base"], st["nb"], st["lmax"]
+        qlen, codes, wins, ws = st["qlen"], st["codes"], st["wins"], st["ws"]
         t2 = time.monotonic()
-        g_timer.add(f"fused: far kernel+xfer ws={tuple(ws)} b={b}", t2 - t1)
+        emit_bits, rep, uni, win_round, replaced = jax.device_get(st["dev"])
+        g_timer.add(f"fused: far wait ws={tuple(ws)} b={st['b']}",
+                    time.monotonic() - t2)
+        t2 = time.monotonic()
 
         emit_bits = emit_bits[:nb]
         rep = np.asarray(rep[:nb], np.int64)

@@ -182,7 +182,14 @@ class SplitRead:
         return len(self.seq)
 
     def seq_codes(self) -> np.ndarray:
-        return dna.encode(self.seq)
+        """Encoded bases, cached per seq *object* (the search flips seq by
+        assigning a new string, which invalidates by identity)."""
+        d = self.__dict__
+        if d.get("_codes_for") is not self.seq:
+            d["_codes"] = dna.encode(self.seq)
+            d["_codes"].flags.writeable = False
+            d["_codes_for"] = self.seq
+        return d["_codes"]
 
     # --- anchor helpers (reference pindel.cpp:475-518) ---
     def max_len_close(self) -> int:
