@@ -118,7 +118,7 @@ class RaggedAnchors:
         n = self.n = len(pairs)
         self.minus = np.fromiter((r.matched_d == MINUS for _, r in pairs),
                                  bool, n)
-        self.rdlen = np.fromiter((r.read_length for _, r in pairs),
+        self.rdlen = np.fromiter((len(r.seq) for _, r in pairs),
                                  np.int64, n)
         self.max_snp = np.fromiter((r.max_snp_error for _, r in pairs),
                                    np.int64, n)

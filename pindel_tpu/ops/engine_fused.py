@@ -479,7 +479,11 @@ def decode_chains(chrom_codes: np.ndarray, emit_bits: np.ndarray,
     device-oriented qq rows ([N, lmax] int8) and wbuck the per-read
     window bucket.  The mismatch recount reproduces the device rule
     exactly: seed step contributes 0; Matches() semantics for N.
-    ``abs_loc`` is left empty — the caller owns the lane->coordinate map.
+
+    ``abs_loc`` is filled from the lane geometry in the same batched
+    pass: a forward lane's anchor at length ll ends at ss + w_off + ll-1,
+    a backward (tile-reversed) lane's at ss + tlen-1 - w_off - (ll-1).
+    All chain arrays are slice views into shared batch arrays.
     """
     n = emit_bits.shape[0]
     emit = unpack_bits(emit_bits, lmax)                     # [N, L]
@@ -512,14 +516,20 @@ def decode_chains(chrom_codes: np.ndarray, emit_bits: np.ndarray,
     rows, cols = np.nonzero(emit[idx])
     lens_all = cols + 1
     mm_all = cum[rows, cols]
+    # forward: ss+woff + (ll-1); backward: ss+tlen - woff - ll
+    loc_base = np.where(rev, ss + tlen - woff, ss + woff)   # per read
+    loc_all = np.where(rev[rows],
+                       loc_base[rows] - lens_all,
+                       loc_base[rows] + lens_all - 1)
     bounds = np.searchsorted(rows, np.arange(idx.size + 1))
+    fulli = full.tolist()
     for k, i in enumerate(idx):
         sl = slice(bounds[k], bounds[k + 1])
         out[i] = ChainDecode(
             lengths=lens_all[sl],
-            abs_loc=np.zeros(0, np.int64),
+            abs_loc=loc_all[sl],
             mm=mm_all[sl],
-            full_mm=int(full[k]))
+            full_mm=fulli[k])
     return out
 
 
@@ -590,7 +600,7 @@ class FusedJaxBackend:
     def _pack_codes(reads, nb: int, b: int, lmax: int) -> np.ndarray:
         """[b, lmax] int8 base codes for a read chunk in one encode pass
         (the per-read slice-assignment loop was a profile hotspot)."""
-        qlen = np.fromiter((r.read_length for r in reads), np.int64, nb)
+        qlen = np.fromiter((len(r.seq) for r in reads), np.int64, nb)
         flat = dna.encode("".join(r.seq for r in reads))
         offs = np.zeros(nb, np.int64)
         np.cumsum(qlen[:-1], out=offs[1:])
@@ -611,6 +621,12 @@ class FusedJaxBackend:
         not block), then decoded in order — host pack/decode of chunk i
         overlaps device execution of chunk i+1.
         """
+        return self.close_ends_decode(
+            reads, self.close_ends_dispatch(reads, bp_start))
+
+    def close_ends_dispatch(self, reads, bp_start: int):
+        """Async half of close_ends: uploads and launches every chunk,
+        returns a token for ``close_ends_decode``."""
         n = len(reads)
         results: List[Tuple[Optional[ChainDecode], int, bool]] = \
             [(None, -1, False)] * n
@@ -619,6 +635,10 @@ class FusedJaxBackend:
             hi = min(lo + self.B_BUCKETS[-1], n)
             pending.append(
                 self._close_dispatch(reads[lo:hi], lo, results, bp_start))
+        return results, pending
+
+    def close_ends_decode(self, reads, token):
+        results, pending = token
         for st in pending:
             if st is not None:
                 self._close_decode(st, results)
@@ -631,7 +651,7 @@ class FusedJaxBackend:
         nb = len(reads)
         b = _b_bucket(nb, self.B_BUCKETS)
         qlen = np.zeros(b, np.int32)
-        qlen[:nb] = [r.read_length for r in reads]
+        qlen[:nb] = [len(r.seq) for r in reads]
         lmax = _round_up(max(int(qlen.max()), 8), 128)
         codes = self._pack_codes(reads, nb, b, lmax)
         minus = np.zeros(b, bool)
@@ -716,19 +736,16 @@ class FusedJaxBackend:
                          np.where(fcol, codes[:nb], rcf)).astype(np.int8)
         chains = decode_chains(self.chrom_codes, emit_bits, rep_w, ss,
                                minus[:nb], q_dev, qlen[:nb], wbuck, lmax)
+        winl = winner.tolist()
+        unil = uniform.tolist()
         for i in range(nb):
             ch = chains[i]
             if ch is None:
                 continue
-            if not uniform[i]:
-                results[base + i] = (None, int(winner[i]), True)
+            if not unil[i]:
+                results[base + i] = (None, winl[i], True)
                 continue
-            ll = ch.lengths
-            if minus[i]:
-                ch.abs_loc = ss[i] + tlen[i] - 1 - rep_w[i] - (ll - 1)
-            else:
-                ch.abs_loc = ss[i] + rep_w[i] + ll - 1
-            results[base + i] = (ch, int(winner[i]), False)
+            results[base + i] = (ch, winl[i], False)
         g_timer.add("fused: decode close", time.monotonic() - t2)
 
     # --------------------------------------------------------------- far
@@ -760,7 +777,7 @@ class FusedJaxBackend:
         b = _b_bucket(nb, self.B_BUCKETS)
         nr = len(spans)
         qlen = np.zeros(b, np.int32)
-        qlen[:nb] = [r.read_length for r in reads]
+        qlen[:nb] = [len(r.seq) for r in reads]
         lmax = _round_up(max(int(qlen.max()), 8), 128)
         # current (maybe close-end-flipped) sequences, one encode pass
         codes = self._pack_codes(reads, nb, b, lmax)
@@ -826,18 +843,12 @@ class FusedJaxBackend:
                          codes[:nb]).astype(np.int8)
         chains = decode_chains(self.chrom_codes, emit_bits, w_off, ss,
                                lane == 1, q_dev, qlen[:nb], wbuck, lmax)
-        for i in range(nb):
-            if not replaced[i]:
-                continue
+        lanel = (lane == 1).tolist()
+        unil = uni.tolist()
+        for i in np.flatnonzero(replaced).tolist():
             ch = chains[i]
-            if ch is not None and not uni[i]:
+            if ch is not None and not unil[i]:
                 results[base + i] = (None, False, True, True)
                 continue
-            if ch is not None:
-                ll = ch.lengths
-                if lane[i] == 1:
-                    ch.abs_loc = ss[i] + tlen[i] - 1 - w_off[i] - (ll - 1)
-                else:
-                    ch.abs_loc = ss[i] + w_off[i] + ll - 1
-            results[base + i] = (ch, bool(lane[i] == 1), True, False)
+            results[base + i] = (ch, lanel[i], True, False)
         g_timer.add("fused: decode far", time.monotonic() - t2)

@@ -69,6 +69,18 @@ class BedRegion:
     end: int
 
 
+@dataclasses.dataclass
+class _WindowSnap:
+    """Frozen bounds of one window for the pipelined process stage (the
+    live LoopingSearchWindow advances while earlier windows are still
+    being processed)."""
+
+    current_start: int
+    current_end: int
+    displayed_start: int
+    displayed_end: int
+
+
 def build_regions(settings: Settings, genome: Genome) -> List[BedRegion]:
     """-c / -j / -J region selection (pindel.cpp:1601-1716)."""
     import os
@@ -329,20 +341,19 @@ class Pipeline:
             if backend is not None:
                 self.searcher.backend = backend
 
+            # Software-pipelined window loop: window N+1's reads are read
+            # in and its close-end kernels DISPATCHED before window N's
+            # host stages (far decode, detectors, reporting) run, so the
+            # device works ahead of the host.  All outputs are still
+            # produced strictly in window order by _process_window.
             window = LoopingSearchWindow(chrom, s.window_size,
                                          bed.start, bed.end)
+            pending = None
             while True:
-                self.state.region_start = window.current_start
-                self.state.region_end = window.current_end
-                # RP discovery + BD-like event conversion
-                # (pindel.cpp:1837-1847), then window rasterization
-                if self.bam_input and s.search_discordant_read_pair:
-                    rp, rp_inter = self._window_rp_discovery(chrom, window)
-                    self.bd.update_bd(rp, rp_inter, self._out("RP"),
-                                      s.report_interchromosomal_events)
-                self.bd.load_region(chrom.name,
-                                    window.current_start + SPACER,
-                                    window.current_end + SPACER)
+                wsnap = _WindowSnap(window.current_start,
+                                    window.current_end,
+                                    window.displayed_start,
+                                    window.displayed_end)
                 with g_timer.phase("Reading in reads"):
                     if self.bam_input:
                         reads, ref_reads = self._window_reads_bam(
@@ -350,84 +361,111 @@ class Pipeline:
                     else:
                         reads = self._window_reads(chrom, window)
                         ref_reads = []
-                    self._update_ref_coverage(ref_reads, window)
-                g_read_stats.in_window += len(reads)
                 for r in reads:
                     # g_maxInsertSize update in GetCloseEndInner
                     # (pindel.cpp:2257) — for every read searched
                     if r.insert_size > self.state.max_insert_size:
                         self.state.max_insert_size = r.insert_size
                 with g_timer.phase("Matching close ends"):
-                    self.searcher.map_close_ends(chrom, reads)
-                    kept = self.searcher.finalize_close_ends(reads)
-                from pindel_tpu.reads import PLUS
-                for r in kept:
-                    if r.matched_d == PLUS:
-                        g_read_stats.close_mapped_plus += 1
-                    else:
-                        g_read_stats.close_mapped_minus += 1
-                for r in kept:
-                    if self.state.report_length < r.read_length:
-                        self.state.report_length = r.read_length
-                    self.state.sample_names.add(r.tag)
-                if kept:
-                    if s.report_close_mapped_reads or \
-                            s.report_only_close_mapped_reads:
-                        out = self._out("CloseEndMapped")
-                        for r in kept:
-                            out.write(f"{r.name}\n{r.seq}\n{r.matched_d}"
-                                      f"\t{r.frag_name}\t{r.matched_rel_pos}"
-                                      f"\t{r.ms}\t{r.insert_size}"
-                                      f"\t{r.tag}\n")
-                    if not s.report_only_close_mapped_reads:
-                        def bd_regions(read):
-                            regs = []
-                            for chr_name, w_start, w_end in \
-                                    self.bd.cluster_for(
-                                        read.last_abs_loc_close_end()):
-                                c = self.genome.get(chr_name)
-                                if c is None:
-                                    raise ValueError(
-                                        f"BD window chromosome {chr_name} "
-                                        "not in reference")
-                                regs.append((c, w_start, w_end))
-                            return regs
-
-                        with g_timer.phase("Searching far ends"):
-                            self.searcher.search_far_ends(
-                                chrom, kept, bd_regions=bd_regions)
-                        for r in kept:
-                            if r.up_far:
-                                g_read_stats.far_mapped += 1
-                                r.far_frag_name = r.up_far[0].chr_name
-                                r.matched_far_d = r.up_far[0].strand
-                        # per-window interchromosomal pool
-                        # (pindel.cpp:1905-1917)
-                        inter_sr: List[SplitRead] = []
-                        if s.report_interchromosomal_events:
-                            import copy
-                            inter_sr = [copy.copy(r) for r in kept
-                                        if r.up_far
-                                        and r.frag_name != r.far_frag_name]
-                        with g_timer.phase(
-                                "Searching and reporting variations"):
-                            self._search_svs(kept, chr_seq, window,
-                                             box_size, num_boxes, bed)
-                        if s.report_interchromosomal_events and inter_sr:
-                            sort_and_report_interchromosomal_events(
-                                inter_sr, self._out("INT"))
-                # showReadStats per window (reference reader.cpp:183-193)
-                g_read_stats.show(
-                    f"{chrom.name}:{window.displayed_start}-"
-                    f"{window.displayed_end}")
-                g_read_stats.reset()
+                    token = self.searcher.map_close_ends_async(chrom, reads)
+                if pending is not None:
+                    self._process_window(pending, chrom, chr_seq, box_size,
+                                         num_boxes, bed)
+                pending = (wsnap, reads, ref_reads, token)
                 window.next()
                 if window.finished(not self.bam_input, self.g_max_pos):
                     break
+            if pending is not None:
+                self._process_window(pending, chrom, chr_seq, box_size,
+                                     num_boxes, bed)
         # final interchromosomal merge, unconditional (pindel.cpp:1999)
         if "INT" in self._outputs:
             self._outputs["INT"].flush()
         merge_inter_chr(self.settings.out("INT"))
+
+    def _process_window(self, pending, chrom: Chromosome, chr_seq: str,
+                        box_size: int, num_boxes: int,
+                        bed: BedRegion) -> None:
+        """Host stages of one window, in window order (the close-end
+        device work was dispatched when the window was read in)."""
+        s = self.settings
+        window, reads, ref_reads, token = pending
+        self.state.region_start = window.current_start
+        self.state.region_end = window.current_end
+        # RP discovery + BD-like event conversion (pindel.cpp:1837-1847),
+        # then window rasterization.  Neither affects close-end mapping,
+        # so they run after the close dispatch.
+        if self.bam_input and s.search_discordant_read_pair:
+            rp, rp_inter = self._window_rp_discovery(chrom, window)
+            self.bd.update_bd(rp, rp_inter, self._out("RP"),
+                              s.report_interchromosomal_events)
+        self.bd.load_region(chrom.name,
+                            window.current_start + SPACER,
+                            window.current_end + SPACER)
+        self._update_ref_coverage(ref_reads, window)
+        g_read_stats.in_window += len(reads)
+        with g_timer.phase("Matching close ends"):
+            self.searcher.map_close_ends_finish(token)
+            kept = self.searcher.finalize_close_ends(reads)
+        from pindel_tpu.reads import PLUS
+        for r in kept:
+            if r.matched_d == PLUS:
+                g_read_stats.close_mapped_plus += 1
+            else:
+                g_read_stats.close_mapped_minus += 1
+        for r in kept:
+            if self.state.report_length < r.read_length:
+                self.state.report_length = r.read_length
+            self.state.sample_names.add(r.tag)
+        if kept:
+            if s.report_close_mapped_reads or \
+                    s.report_only_close_mapped_reads:
+                out = self._out("CloseEndMapped")
+                for r in kept:
+                    out.write(f"{r.name}\n{r.seq}\n{r.matched_d}"
+                              f"\t{r.frag_name}\t{r.matched_rel_pos}"
+                              f"\t{r.ms}\t{r.insert_size}"
+                              f"\t{r.tag}\n")
+            if not s.report_only_close_mapped_reads:
+                def bd_regions(read):
+                    regs = []
+                    for chr_name, w_start, w_end in \
+                            self.bd.cluster_for(
+                                read.last_abs_loc_close_end()):
+                        c = self.genome.get(chr_name)
+                        if c is None:
+                            raise ValueError(
+                                f"BD window chromosome {chr_name} "
+                                "not in reference")
+                        regs.append((c, w_start, w_end))
+                    return regs
+
+                with g_timer.phase("Searching far ends"):
+                    self.searcher.search_far_ends(
+                        chrom, kept, bd_regions=bd_regions)
+                for r in kept:
+                    if r.up_far:
+                        g_read_stats.far_mapped += 1
+                        r.far_frag_name = r.up_far[0].chr_name
+                        r.matched_far_d = r.up_far[0].strand
+                # per-window interchromosomal pool (pindel.cpp:1905-1917)
+                inter_sr: List[SplitRead] = []
+                if s.report_interchromosomal_events:
+                    import copy
+                    inter_sr = [copy.copy(r) for r in kept
+                                if r.up_far
+                                and r.frag_name != r.far_frag_name]
+                with g_timer.phase("Searching and reporting variations"):
+                    self._search_svs(kept, chr_seq, window,
+                                     box_size, num_boxes, bed)
+                if s.report_interchromosomal_events and inter_sr:
+                    sort_and_report_interchromosomal_events(
+                        inter_sr, self._out("INT"))
+        # showReadStats per window (reference reader.cpp:183-193)
+        g_read_stats.show(
+            f"{chrom.name}:{window.displayed_start}-"
+            f"{window.displayed_end}")
+        g_read_stats.reset()
 
     def _search_svs(self, reads: List[SplitRead], chr_seq: str,
                     window: LoopingSearchWindow, box_size: int,

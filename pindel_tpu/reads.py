@@ -49,7 +49,7 @@ class AnchorSet:
     """
 
     __slots__ = ("length", "loc", "mm", "dir_minus", "strand_minus",
-                 "chr_names", "chr_id")
+                 "chr_names", "chr_id", "uniform")
 
     def __init__(self, length, loc, mm, dir_minus, strand_minus,
                  chr_names, chr_id):
@@ -60,6 +60,9 @@ class AnchorSet:
         self.strand_minus = strand_minus  # bool  [n]
         self.chr_names = chr_names        # small list[str], indexed by
         self.chr_id = chr_id              # int8  [n] into chr_names
+        self.uniform = False              # single-representative chain:
+        # constant dir/strand/chr and loc -/+ length, which makes
+        # clean_unique_points a provable no-op (set by the fused decode)
 
     @classmethod
     def empty(cls) -> "AnchorSet":
@@ -216,7 +219,7 @@ def clean_unique_points(ups: AnchorSet) -> AnchorSet:
     Reference: CleanUniquePoints, pindel.cpp:2904-2941.  Vectorized over
     the AnchorSet arrays.
     """
-    if not ups:
+    if not ups or ups.uniform:
         return ups
     n = len(ups)
     last_dir_minus = bool(ups.dir_minus[n - 1])
@@ -232,6 +235,26 @@ def clean_unique_points(ups: AnchorSet) -> AnchorSet:
     if mask.all():
         return ups
     return ups.select(mask)
+
+
+_PROTO_READ = SplitRead()
+
+
+def _make_read(name: str, seq: str, meta: List[str]) -> SplitRead:
+    """One record -> SplitRead via prototype clone (dataclass __init__
+    with ~25 defaulted fields is measurably slow at WGS read counts)."""
+    read = SplitRead.__new__(SplitRead)
+    read.__dict__.update(_PROTO_READ.__dict__)
+    read.name = name
+    read.set_seq(seq)
+    if len(meta) >= 6:
+        read.matched_d = meta[0]
+        read.frag_name = meta[1]
+        read.matched_rel_pos = int(meta[2])
+        read.ms = int(meta[3])
+        read.insert_size = int(meta[4])
+        read.tag = meta[5]
+    return read
 
 
 def read_pindel_file(path: str) -> Iterator[SplitRead]:
@@ -250,13 +273,4 @@ def read_pindel_file(path: str) -> Iterator[SplitRead]:
                 continue
             seq = fh.readline().rstrip("\n")
             meta = fh.readline().split()
-            read = SplitRead(name=name)
-            read.set_seq(seq)
-            if len(meta) >= 6:
-                read.matched_d = meta[0]
-                read.frag_name = meta[1]
-                read.matched_rel_pos = int(meta[2])
-                read.ms = int(meta[3])
-                read.insert_size = int(meta[4])
-                read.tag = meta[5]
-            yield read
+            yield _make_read(name, seq, meta)

@@ -127,11 +127,13 @@ def _anchorset_from_chain(chain, dir_minus: bool, strand_minus: bool,
     per read showed up as ~15% of host time in profiles)."""
     n = chain.lengths.shape[0]
     zero8 = _ZERO8_POOL[:n] if n <= _POOL_N else np.zeros(n, np.int8)
-    return AnchorSet(chain.lengths, chain.abs_loc,
-                     chain.mm.astype(np.int64, copy=False),
-                     _const_bool(dir_minus, n),
-                     _const_bool(strand_minus, n),
-                     [chr_name], zero8)
+    a = AnchorSet(chain.lengths, chain.abs_loc,
+                  chain.mm.astype(np.int64, copy=False),
+                  _const_bool(dir_minus, n),
+                  _const_bool(strand_minus, n),
+                  [chr_name], zero8)
+    a.uniform = True
+    return a
 
 
 class Searcher:
@@ -155,10 +157,33 @@ class Searcher:
     def map_close_ends(self, chrom: Chromosome,
                        reads: Sequence[SplitRead]) -> None:
         """Fill read.up_close, flipping orientation as the reference does."""
-        if hasattr(self.backend, "close_ends"):
-            self._map_close_fused(chrom, reads)
-        else:
-            self._map_close_rounds(chrom, reads, self.backend)
+        self.map_close_ends_finish(self.map_close_ends_async(chrom, reads))
+
+    def map_close_ends_async(self, chrom: Chromosome,
+                             reads: Sequence[SplitRead]):
+        """Dispatch the device work for close-end mapping without blocking
+        (fused backends); returns a token for ``map_close_ends_finish``.
+        The pipeline uses this to overlap window N+1's close kernels with
+        window N's host-side detection/reporting."""
+        if not hasattr(self.backend, "close_ends_dispatch"):
+            return (chrom, reads, None, None)
+        s = self.settings
+        active = [r for r in reads if len(r.seq) > 0]
+        for r in active:
+            r.max_snp_error = int(self.maxmm[len(r.seq)])
+        pending = self.backend.close_ends_dispatch(active, s.min_close)
+        return (chrom, reads, active, pending)
+
+    def map_close_ends_finish(self, token) -> None:
+        chrom, reads, active, pending = token
+        if pending is None:
+            if hasattr(self.backend, "close_ends"):
+                self._map_close_fused(chrom, reads)
+            else:
+                self._map_close_rounds(chrom, reads, self.backend)
+            return
+        results = self.backend.close_ends_decode(active, pending)
+        self._consume_close_results(chrom, active, results)
 
     def _map_close_fused(self, chrom: Chromosome,
                          reads: Sequence[SplitRead]) -> None:
@@ -169,6 +194,9 @@ class Searcher:
         for r in active:
             r.max_snp_error = int(self.maxmm[r.read_length])
         results = self.backend.close_ends(active, s.min_close)
+        self._consume_close_results(chrom, active, results)
+
+    def _consume_close_results(self, chrom: Chromosome, active, results):
         fallback: List[SplitRead] = []
         for r, (chain, winner, needs_fb) in zip(active, results):
             if needs_fb:
