@@ -163,8 +163,58 @@ class Params:
     only_balanced_samples: bool = False    # -sb
     minimum_strand_support: int = 1    # -ss
     compact_output: int = SIZE_TO_WARN_FOR  # -co
-    somatic: bool = False              # -so (disabled in reference too)
+    somatic: bool = False              # -so (CLI-settable only in the
+    # tcga converter; pindel2vcf.cpp:2038 comments the flag out but the
+    # fisher/FILTER logic is live in both, pindel2vcf.cpp:1541-1549)
     gatk_compatible: bool = False      # -G
+    tcga: bool = False                 # pindel2vcf4tcga output flavor
+    center: str = ""                   # -C (tcga only)
+
+
+def _fact32(n: int) -> int:
+    """FACT with C int (32-bit wrapping) semantics
+    (pindel2vcf.cpp:1503-1517 — overflows for n >= 13 exactly as the
+    reference does)."""
+    fact = 1
+    for i in range(1, max(n, 1) + 1):
+        fact = (fact * i) & 0xFFFFFFFF
+    return fact - 0x100000000 if fact >= 0x80000000 else fact
+
+
+def fisher_test(a: int, c: int, b: int, d: int) -> float:
+    """Naive factorial Fisher p (pindel2vcf.cpp:1519-1526) including its
+    int-overflow behavior; the klib kt_fisher_exact in the same file is
+    dead code at this call site."""
+    n = a + b + c + d
+
+    def mul32(*xs):
+        acc = 1
+        for x in xs:
+            acc = (acc * x) & 0xFFFFFFFF
+        return acc - 0x100000000 if acc >= 0x80000000 else acc
+
+    num = mul32(_fact32(a + b), _fact32(c + d), _fact32(a + c),
+                _fact32(d + b))
+    den = float(mul32(_fact32(a), _fact32(b), _fact32(c), _fact32(d),
+                      _fact32(n)))
+    try:
+        return num / den
+    except ZeroDivisionError:
+        if num == 0:
+            return float("nan")
+        return float("inf") if num > 0 else float("-inf")
+
+
+def _cxx_double(v: float) -> str:
+    """std::ostream default double formatting (printf %g, precision 6)."""
+    import math
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    if math.isnan(v):
+        # the only NaN source here is 0.0/0.0, whose x86 SSE QNaN has the
+        # sign bit set — iostream prints it as "-nan"
+        return "-nan"
+    return "%g" % v
 
 
 @dataclasses.dataclass
@@ -390,9 +440,15 @@ class SVRecord:
         ref, alt = self.output_ref_alt()
         cols = [self.chromosome, str(self.get_position()), self.id,
                 ref, alt, self.quality]
-        # reference operator<< always prints PASS: somatic_p_value stays
-        # 0.0 (the -so flag is commented out) and 0.0 < 0.05
-        cols.append("PASS")
+        # FILTER (pindel2vcf.cpp:1541-1550): with -so unset the p stays
+        # 0.0 < 0.05, so plain runs always print PASS; d_filter is "."
+        somatic_p = 0.0
+        somatic_on = len(self.format) == 2 and self.par.somatic
+        if somatic_on:
+            somatic_p = fisher_test(
+                self.format[0].total(), self.format[0].ref_support,
+                self.format[1].total(), self.format[1].ref_support)
+        cols.append("PASS" if somatic_p < 0.05 else ".")
         info = (f"END={self.position + len(self.get_reference()) - 1};"
                 f"HOMLEN={self.homlen};")
         if self.homlen != 0:
@@ -400,17 +456,26 @@ class SVRecord:
         info += "SVLEN="
         if self.svtype in ("RPL", "DEL") and self.svlen > 0:
             info += "-"
-        info += f"{self.svlen};SVTYPE={self.svtype}"
+        svtype_key = "TYPEOFSV" if self.par.tcga else "SVTYPE"
+        info += f"{self.svlen};{svtype_key}={self.svtype}"
         if self.svtype in ("RPL", "DUP:TANDEM", "INV"):
             info += f";NTLEN={self.replace_len}"
         if self.svtype == "INV":
             info += f",{self.replace_len_two}"
+        if somatic_on:
+            info += f";{_cxx_double(somatic_p)}"
         cols.append(info)
-        cols.append("GT:AD")
+        cols.append("GT:DP:BQ:SS:AD" if self.par.tcga else "GT:AD")
         for g in self.format:
             if pindel024u_or_later and self.get_alternative() != "<INS>":
-                cols.append(f"{derive_genotype(g, self.par)}:"
-                            f"{g.ref_support},{g.total()}")
+                if self.par.tcga:
+                    # getSampleDataOfEvent (pindel2vcf4tcga.cpp:1021-1030)
+                    cols.append(f"{derive_genotype(g, self.par)}:"
+                                f"{g.ref_support + g.total()}:.:2:"
+                                f"{g.ref_support},{g.total()}")
+                else:
+                    cols.append(f"{derive_genotype(g, self.par)}:"
+                                f"{g.ref_support},{g.total()}")
             else:
                 # getGTAD with getGTold (pindel2vcf.cpp:941-955)
                 if self.par.gatk_compatible:
@@ -653,6 +718,8 @@ class Converter:
 
     # --- driver --------------------------------------------------------------
     def header(self, samples: List[str]) -> str:
+        if self.par.tcga:
+            return self._header_tcga(samples)
         lines = [
             "##fileformat=VCFv4.0",
             f"##fileDate={self.par.reference_date}",
@@ -684,6 +751,57 @@ class Converter:
         lines.append(
             '##FORMAT=<ID=AD,Number=2,Type=Integer,Description="Allele'
             ' depth, how many reads support this allele">')
+        cols = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+        if samples:
+            cols += "\tFORMAT"
+            for s in samples:
+                cols += "\t" + s
+        lines.append(cols)
+        return "\n".join(lines) + "\n"
+
+    def _header_tcga(self, samples: List[str]) -> str:
+        """TCGA-flavored header (pindel2vcf4tcga.cpp:735-787)."""
+        p = self.par
+        lines = [
+            "##fileformat=VCFv4.1",
+            f"##fileDate={p.reference_date}",
+            "##tcgaversion=1.2",
+            f"##reference={p.reference_name}",
+            f'##center="{p.center}"',
+            "##phasing=none",
+            (f'##vcfProcessLog=<InputVCF="{p.vcffile}";'
+             'InputVCFSource="pindel2vcf";'
+             'InputVCFVer="0.6.3";'
+             f'InputVCFParam="d={p.reference_date}">'),
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth'
+            ' at this position in the sample">',
+            '##FORMAT=<ID=BQ,Number=.,Type=Integer,Description="Average'
+            ' base quality for reads supporting alleles">',
+            '##FORMAT=<ID=SS,Number=1,Type=Integer,Description="Variant'
+            ' status relative to non-adjacent Normal,0=wildtype,'
+            '1=germline,2=somatic,3=LOH,4=post-transcriptional'
+            ' modification,5=unknown">',
+            '##FORMAT=<ID=AD,Number=.,Type=Integer,Description="Depth of'
+            ' reads supporting alleles 0/1/2/3...">',
+            '##INFO=<ID=END,Number=1,Type=Integer,Description="End position'
+            ' of the variant described in this record">',
+            '##INFO=<ID=HOMLEN,Number=.,Type=Integer,Description="Length of'
+            ' base pair identical micro-homology at event breakpoints">',
+            '##INFO=<ID=PF,Number=1,Type=Integer,Description="The number of'
+            ' samples carry the variant">',
+            '##INFO=<ID=HOMSEQ,Number=.,Type=String,Description="Sequence of'
+            ' base pair identical micro-homology at event breakpoints">',
+            '##INFO=<ID=SVLEN,Number=.,Type=Integer,Description="Difference'
+            ' in length between REF and ALT alleles">',
+            '##INFO=<ID=TYPEOFSV,Number=1,Type=String,Description="Type of'
+            ' structural variant">',
+            '##INFO=<ID=NTLEN,Number=.,Type=Integer,Description="Number of'
+            ' bases inserted in place of deleted code">',
+            '##FORMAT=<ID=PL,Number=3,Type=Integer,Description="Normalized,'
+            ' Phred-scaled likelihoods for AA,AB,BB genotypes where A=ref'
+            ' and B=alt; not applicable if site is not biallelic">',
+        ]
         cols = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
         if samples:
             cols += "\tFORMAT"
@@ -745,6 +863,8 @@ def convert(par: Params) -> str:
     else:
         raise ValueError("need -p or -P")
     vcffile = par.vcffile or default_vcf
+    par.vcffile = vcffile     # resolved name; the tcga header prints it
+    # (reference resolves g_par.vcffile before createHeader, :2206-2211)
 
     conv = Converter(par)
     reader = InputReader(files)
@@ -764,11 +884,17 @@ def convert(par: Params) -> str:
     return vcffile
 
 
-def main(argv=None) -> int:
+def main(argv=None, tcga: bool = False) -> int:
     import argparse
     ap = argparse.ArgumentParser(
-        prog="pindel2vcf",
-        description="Convert pindel_tpu/pindel reports to VCF 4.0")
+        prog="pindel2vcf4tcga" if tcga else "pindel2vcf",
+        description=("Convert pindel_tpu/pindel reports to TCGA-flavored"
+                     " VCF 4.1" if tcga else
+                     "Convert pindel_tpu/pindel reports to VCF 4.0"))
+    if tcga:
+        # pindel2vcf4tcga.cpp:2024-2025 and :2077-2078
+        ap.add_argument("-C", "--center", default="")
+        ap.add_argument("-so", "--somatic_p", action="store_true")
     ap.add_argument("-r", "--reference", required=True)
     ap.add_argument("-R", "--reference_name", required=True)
     ap.add_argument("-d", "--reference_date", required=True)
@@ -820,7 +946,10 @@ def main(argv=None) -> int:
         only_balanced_samples=args.only_balanced_samples,
         minimum_strand_support=args.minimum_strand_support,
         compact_output=args.compact_output_limit,
-        gatk_compatible=args.gatk_compatible)
+        gatk_compatible=args.gatk_compatible,
+        tcga=tcga,
+        center=getattr(args, "center", ""),
+        somatic=getattr(args, "somatic_p", False))
     convert(par)
     return 0
 

@@ -10,7 +10,8 @@ STUB=$(cd "$(dirname "$0")/htslib_stub" && pwd)
 OUT=${OUT:-/tmp/pindel_oracle}
 mkdir -p "$OUT"
 
-if [[ -x "$OUT/pindel" && "$OUT/pindel" -nt "$STUB/htslib/sam.h" \
+if [[ -x "$OUT/pindel" && -x "$OUT/pindel2vcf4tcga" \
+      && "$OUT/pindel" -nt "$STUB/htslib/sam.h" \
       && "$OUT/pindel" -nt "$STUB/hts_stub.cpp" ]]; then
   echo "oracle up to date: $OUT/pindel"
   exit 0
@@ -43,5 +44,6 @@ for p in "${pids[@]}"; do wait "$p" || fail=1; done
 
 g++ -O2 -fopenmp ./*.o -lm -lz -o pindel
 g++ -w -O2 "$REF/pindel2vcf.cpp" -o pindel2vcf
+g++ -w -O2 "$REF/pindel2vcf4tcga.cpp" -o pindel2vcf4tcga
 g++ -w -O2 "$REF/SAM_2_PINDEL_cin_2011Sept26.cpp" -o sam2pindel
-echo "built: $OUT/pindel $OUT/pindel2vcf $OUT/sam2pindel"
+echo "built: $OUT/pindel $OUT/pindel2vcf $OUT/pindel2vcf4tcga $OUT/sam2pindel"
