@@ -50,6 +50,11 @@ def build_scene(workdir: str):
     return fa, reads_txt, len(reads.names)
 
 
+# both sides also emit LI, BP and the close-end checkpoint so the
+# correctness gate covers every report type
+EXTRA_FLAGS = ["-l", "-k", "-s"]
+
+
 def time_reference(fa: str, reads_txt: str, workdir: str) -> float:
     r = subprocess.run(
         [os.path.join(REPO, "tools", "build_reference_oracle.sh")],
@@ -60,7 +65,8 @@ def time_reference(fa: str, reads_txt: str, workdir: str) -> float:
     t0 = time.time()
     r = subprocess.run(["/tmp/pindel_oracle/pindel", "-f", fa,
                         "-p", reads_txt, "-o",
-                        os.path.join(workdir, "gold"), "-c", "ALL"],
+                        os.path.join(workdir, "gold"), "-c", "ALL",
+                        *EXTRA_FLAGS],
                        capture_output=True, text=True, timeout=1800)
     dt = time.time() - t0
     assert r.returncode == 0, r.stdout[-1000:]
@@ -70,8 +76,12 @@ def time_reference(fa: str, reads_txt: str, workdir: str) -> float:
 def run_ours(fa: str, reads_txt: str, out_prefix: str) -> float:
     from pindel_tpu.config import Settings
     from pindel_tpu.pipeline import run_files
+    s = Settings()
+    s.analyze_li = True                   # -l
+    s.analyze_bp = True                   # -k
+    s.report_close_mapped_reads = True    # -s
     t0 = time.time()
-    run_files(fa, reads_txt, out_prefix, settings=Settings(),
+    run_files(fa, reads_txt, out_prefix, settings=s,
               backend="fused")
     return time.time() - t0
 
@@ -95,7 +105,7 @@ def main() -> int:
 
     # correctness gate: byte-identical reports
     mismatches = []
-    for suf in ("D", "SI", "TD", "INV"):
+    for suf in ("D", "SI", "TD", "INV", "LI", "BP", "CloseEndMapped"):
         gold = open(os.path.join(workdir, f"gold_{suf}")).read()
         ours = open(os.path.join(workdir, f"ours_{suf}")).read()
         if gold != ours:

@@ -78,7 +78,8 @@ def _native_detect():
             import ctypes
 
             from pindel_tpu import native
-            lib = native.load("ptdetect", ["detect.cpp"], link=())
+            lib = native.load("ptdetect", ["detect.cpp"], link=(),
+                              cflags=("-fopenmp",))
             i64p = ctypes.POINTER(ctypes.c_int64)
             u8p = ctypes.POINTER(ctypes.c_uint8)
             i32p = ctypes.POINTER(ctypes.c_int32)
@@ -87,7 +88,7 @@ def _native_detect():
                 ctypes.c_int64, u8p, i64p, i64p, ctypes.c_int64,
                 i64p, i64p, i64p, i64p,
                 i64p, i64p, i64p, i64p, u8p,
-                i32p, i32p]
+                i32p, i32p, ctypes.c_int32]
         except Exception:
             _ND = False
             return None
@@ -96,6 +97,18 @@ def _native_detect():
 
 
 _ND = None
+_NUM_THREADS = 1
+
+
+def set_num_threads(n: int) -> None:
+    """-T: host worker threads for the native detector loop (reference
+    omp_set_num_threads, pindel.cpp:917)."""
+    global _NUM_THREADS
+    _NUM_THREADS = max(int(n), 1)
+
+
+def get_num_threads() -> int:
+    return _NUM_THREADS
 
 
 class RaggedAnchors:
@@ -200,7 +213,8 @@ class RaggedAnchors:
             p64(self.fa_off), p64(self.fa_len), p64(self.fa_loc),
             p64(self.fa_mm), p8(self.fa_dm),
             out_ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            out_fi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            out_fi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            get_num_threads())
         return out_ci, out_fi
 
 

@@ -13,21 +13,21 @@ _LOCK = threading.Lock()
 _LIBS = {}
 
 
-def _build(name: str, sources, link=("-lz",)) -> str:
+def _build(name: str, sources, link=("-lz",), cflags=()) -> str:
     so_path = os.path.join(_DIR, f"lib{name}.so")
     srcs = [os.path.join(_DIR, s) for s in sources]
     if (not os.path.exists(so_path)
             or any(os.path.getmtime(s) > os.path.getmtime(so_path)
                    for s in srcs)):
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", *cflags,
                *srcs, "-o", so_path + ".tmp", *link]
         subprocess.run(cmd, check=True, capture_output=True, text=True)
         os.replace(so_path + ".tmp", so_path)
     return so_path
 
 
-def load(name: str, sources, link=("-lz",)) -> ctypes.CDLL:
+def load(name: str, sources, link=("-lz",), cflags=()) -> ctypes.CDLL:
     with _LOCK:
         if name not in _LIBS:
-            _LIBS[name] = ctypes.CDLL(_build(name, sources, link))
+            _LIBS[name] = ctypes.CDLL(_build(name, sources, link, cflags))
         return _LIBS[name]

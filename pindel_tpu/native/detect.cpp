@@ -16,6 +16,9 @@
 // encodes matched strand and, for inversions, the precondition branch).
 
 #include <cstdint>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -48,6 +51,9 @@ extern "C" {
 //
 // cl_off/fa_off: [n+1] prefix offsets into the concatenated anchor arrays.
 // Outputs out_ci/out_fi get -1 when no pair qualifies.
+// num_threads: OpenMP worker count (the -T flag; reads are independent,
+// outputs indexed per read, so the parallel loop is deterministic —
+// reference precedent: the OpenMP read loops in read_buffer.cpp:39-101).
 void ptdetect_first_pairs(
     int64_t n, const uint8_t* branch, const int64_t* max_snp,
     const int64_t* rdlen, int64_t min_inv,
@@ -55,8 +61,12 @@ void ptdetect_first_pairs(
     const int64_t* cl_mm,
     const int64_t* fa_off, const int64_t* fa_len, const int64_t* fa_loc,
     const int64_t* fa_mm, const uint8_t* fa_dm,
-    int32_t* out_ci, int32_t* out_fi) {
+    int32_t* out_ci, int32_t* out_fi, int32_t num_threads) {
   const int64_t kBig = INT64_MAX;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) \
+    num_threads(num_threads > 0 ? num_threads : 1)
+#endif
   for (int64_t i = 0; i < n; i++) {
     out_ci[i] = -1;
     out_fi[i] = -1;

@@ -146,6 +146,11 @@ class Pipeline:
         self.state.bd = self.bd
         if settings.breakdancer_filename:        # -b (pindel.cpp:872-875)
             self.bd.load_bd_file(settings.breakdancer_filename)
+        # -T: host worker threads (reference omp_set_num_threads,
+        # pindel.cpp:917) — drives the native detector loop and
+        # multi-BAM window intake
+        from pindel_tpu.events.detect import set_num_threads
+        set_num_threads(settings.num_threads)
 
     @property
     def bam_input(self) -> bool:
@@ -270,15 +275,29 @@ class Pipeline:
         entry, collect split reads + reference-supporting reads over the
         window, in file order."""
         s = self.settings
-        reads: List[SplitRead] = []
-        ref_reads: List = []
-        for entry in self.bam_entries:
+
+        def collect(entry):
             reader = self._bam_readers[entry.path]
-            rs, rr = reader.collect_sr(
+            return reader.collect_sr(
                 chrom.name, window.current_start, window.current_end,
                 entry.insert_size, entry.tag, chrom.biol_size,
                 min_anchor_quality=s.min_anchor_quality, nm=s.nm,
                 max_mismatch_rate=s.max_allowed_mismatch_rate)
+
+        paths = [e.path for e in self.bam_entries]
+        if (s.num_threads > 1 and len(self.bam_entries) > 1
+                and len(set(paths)) == len(paths)):
+            # -T: per-sample intake in parallel (the native BAM decoder
+            # releases the GIL); results consumed in config order, so
+            # output is identical to the serial path
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=s.num_threads) as pool:
+                outs = list(pool.map(collect, self.bam_entries))
+        else:
+            outs = [collect(entry) for entry in self.bam_entries]
+        reads: List[SplitRead] = []
+        ref_reads: List = []
+        for rs, rr in outs:
             reads.extend(rs)
             ref_reads.extend(rr)
         return reads, ref_reads

@@ -173,13 +173,14 @@ def _scene_bam_and_text(tmp_path, seed=3):
     return d, fa, bam, txt, cfg
 
 
-def test_bam_end_to_end_matches_text_path(tmp_path):
+@pytest.mark.parametrize("backend", ["numpy", "fused"])
+def test_bam_end_to_end_matches_text_path(tmp_path, backend):
     d, fa, bam, txt, cfg = _scene_bam_and_text(tmp_path)
     from pindel_tpu.__main__ import main
     assert main(["-f", fa, "-p", txt, "-o", os.path.join(d, "text"),
-                 "--backend", "numpy"]) == 0
+                 "--backend", backend]) == 0
     assert main(["-f", fa, "-i", cfg, "-o", os.path.join(d, "bamout"),
-                 "--backend", "numpy"]) == 0
+                 "--backend", backend]) == 0
     for suf in ("D", "SI", "TD", "INV"):
         text_out = open(os.path.join(d, f"text_{suf}")).read()
         bam_out = open(os.path.join(d, f"bamout_{suf}")).read()
@@ -187,7 +188,8 @@ def test_bam_end_to_end_matches_text_path(tmp_path):
     assert "ChrID" in open(os.path.join(d, "text_D")).read()
 
 
-def test_bam_ref_coverage_columns(tmp_path):
+@pytest.mark.parametrize("backend", ["numpy", "fused"])
+def test_bam_ref_coverage_columns(tmp_path, backend):
     """Proper pairs around an event produce real coverage numbers in the
     per-sample report columns (UpdateRefReadCoverage, pindel.cpp:1272)."""
     d, fa, bam, txt, cfg = _scene_bam_and_text(tmp_path, seed=4)
@@ -223,7 +225,7 @@ def test_bam_ref_coverage_columns(tmp_path):
         fh.write(f"{bam3}\t500\tS1\n")
     from pindel_tpu.__main__ import main
     assert main(["-f", fa, "-i", cfg3, "-o", os.path.join(d, "cov"),
-                 "--backend", "numpy"]) == 0
+                 "--backend", backend]) == 0
     d_out = open(os.path.join(d, "cov_D")).read()
     assert "ChrID" in d_out
     # sample column format: "S1 <cov_start> <cov_end> ..." with real

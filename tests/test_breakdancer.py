@@ -45,14 +45,15 @@ def _big_del_scene(tmp_path, seed=8, del_size=6000):
     return d, fa, txt, bd, events
 
 
-def _run_both(d, fa, txt, extra_gold, extra_ours, suffixes):
+def _run_both(d, fa, txt, extra_gold, extra_ours, suffixes,
+              backend="numpy"):
     r = subprocess.run(["/tmp/pindel_oracle/pindel", "-f", fa, "-p", txt,
                         "-o", os.path.join(d, "gold"), "-s", *extra_gold],
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout[-1500:]
     from pindel_tpu.__main__ import main
     assert main(["-f", fa, "-p", txt, "-o", os.path.join(d, "ours"),
-                 "-s", "--backend", "numpy", *extra_ours]) == 0
+                 "-s", "--backend", backend, *extra_ours]) == 0
     for suf in suffixes:
         gold = open(os.path.join(d, f"gold_{suf}")).read()
         ours = open(os.path.join(d, f"ours_{suf}")).read()
@@ -60,7 +61,9 @@ def _run_both(d, fa, txt, extra_gold, extra_ours, suffixes):
                               + "\n".join(_first_diff(gold, ours)))
 
 
-def test_bd_with_text_input_is_inert_like_reference(tmp_path, oracle):
+@pytest.mark.parametrize("backend", ["numpy", "fused"])
+def test_bd_with_text_input_is_inert_like_reference(tmp_path, oracle,
+                                                    backend):
     """Reference quirk (0.2.5b9): external BD events only reach
     loadRegion via UpdateBD (m_bdEvents = m_bdEvents_external,
     bddata.cpp:648), and UpdateBD runs only for BAM input
@@ -71,7 +74,7 @@ def test_bd_with_text_input_is_inert_like_reference(tmp_path, oracle):
     q_ours = os.path.join(d, "ours_Q.txt")
     _run_both(d, fa, txt, ["-b", bd, "-Q", q_gold],
               ["-b", bd, "-Q", q_ours], ["CloseEndMapped", "D", "SI",
-                                         "TD", "INV"])
+                                         "TD", "INV"], backend=backend)
     with_bd = open(os.path.join(d, "gold_D")).read()
     assert f"D {6000}" not in with_bd      # the quirk: BD didn't help
     gold = open(q_gold).read() if os.path.exists(q_gold) else ""
@@ -79,7 +82,8 @@ def test_bd_with_text_input_is_inert_like_reference(tmp_path, oracle):
     assert ours == gold == ""
 
 
-def test_bd_guided_far_end_bam_input(tmp_path):
+@pytest.mark.parametrize("backend", ["numpy", "fused", "mesh"])
+def test_bd_guided_far_end_bam_input(tmp_path, backend):
     """With BAM input, UpdateBD activates the external BD windows each
     window, so the 6 kb deletion (beyond the -x 2 geometric ladder) is
     found — and -Q confirms it against the BD call."""
@@ -108,7 +112,7 @@ def test_bd_guided_far_end_bam_input(tmp_path):
     q_out = os.path.join(d, "bd_q.txt")
     from pindel_tpu.__main__ import main
     assert main(["-f", fa, "-i", cfg, "-o", os.path.join(d, "bam"),
-                 "-b", bd, "-Q", q_out, "--backend", "numpy"]) == 0
+                 "-b", bd, "-Q", q_out, "--backend", backend]) == 0
     d_out = open(os.path.join(d, "bam_D")).read()
     assert f"D {6000}" in d_out
     # -Q stays empty: the reference's isBreakDancerEvent compares a
@@ -119,7 +123,7 @@ def test_bd_guided_far_end_bam_input(tmp_path):
     assert not os.path.exists(q_out) or open(q_out).read() == ""
     # and without -b the deletion is out of geometric reach
     assert main(["-f", fa, "-i", cfg, "-o", os.path.join(d, "nobd"),
-                 "--backend", "numpy"]) == 0
+                 "--backend", backend]) == 0
     assert f"D {6000}" not in open(os.path.join(d, "nobd_D")).read()
 
 

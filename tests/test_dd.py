@@ -138,7 +138,8 @@ def test_dd_split_read_breakpoints(tmp_path, oracle):  # noqa: F811
     assert "Reference: " in gold     # split-read support path exercised
 
 
-def test_dd_demo_golden(tmp_path, oracle):  # noqa: F811
+@pytest.mark.parametrize("backend", ["numpy", "fused"])
+def test_dd_demo_golden(tmp_path, oracle, backend):  # noqa: F811
     demo = "/root/reference/demo/simulated_MEI"
     if not os.path.exists(os.path.join(demo, "aln.sorted.bam")):
         pytest.skip("demo MEI data not available")
@@ -151,7 +152,7 @@ def test_dd_demo_golden(tmp_path, oracle):  # noqa: F811
     cfg = os.path.join(d, "cfg.txt")
     with open(cfg, "w") as fh:
         fh.write(f"{os.path.join(d, 'aln.sorted.bam')}\t500\tMEI\n")
-    gold = _run_both(d, fa, cfg, oracle)
+    gold = _run_both(d, fa, cfg, oracle, backend=backend)
     assert "\tDD\t" in gold
 
 

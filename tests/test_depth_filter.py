@@ -12,6 +12,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
@@ -100,14 +101,14 @@ def _td_scene(tmp_path):
     return d, fa, cfg, bam
 
 
-def _run(d, fa, cfg, oracle_bin, tag, extra):
+def _run(d, fa, cfg, oracle_bin, tag, extra, backend="numpy"):
     r = subprocess.run([oracle_bin, "-f", fa, "-i", cfg,
                         "-o", os.path.join(d, f"gold{tag}"), *extra],
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout[-2000:]
     from pindel_tpu.__main__ import main
     assert main(["-f", fa, "-i", cfg, "-o", os.path.join(d, f"ours{tag}"),
-                 "--backend", "numpy", *extra]) == 0
+                 "--backend", backend, *extra]) == 0
     for suf in ("TD", "D", "SI", "INV"):
         gold = open(os.path.join(d, f"gold{tag}_{suf}")).read()
         ours = open(os.path.join(d, f"ours{tag}_{suf}")).read()
@@ -115,11 +116,14 @@ def _run(d, fa, cfg, oracle_bin, tag, extra):
     return open(os.path.join(d, f"gold{tag}_TD")).read()
 
 
-def test_normal_samples_td_filter(tmp_path, oracle):  # noqa: F811
+@pytest.mark.parametrize("backend", ["numpy", "fused"])
+def test_normal_samples_td_filter(tmp_path, oracle, backend):  # noqa: F811
     d, fa, cfg, _ = _td_scene(tmp_path)
     # -x 4 so the far-end ladder (128*4^k) reaches across the 3 kb copy
-    td_plain = _run(d, fa, cfg, oracle, "p", ["-x", "4"])
-    td_filtered = _run(d, fa, cfg, oracle, "n", ["-x", "4", "-N"])
+    td_plain = _run(d, fa, cfg, oracle, "p", ["-x", "4"],
+                    backend=backend)
+    td_filtered = _run(d, fa, cfg, oracle, "n", ["-x", "4", "-N"],
+                       backend=backend)
     assert "\tTD " in td_plain          # the TD is actually called
     assert td_filtered != td_plain      # ...and -N actually filtered it
     assert "\tTD " not in td_filtered

@@ -15,8 +15,11 @@ from test_bam_channel import _pair  # noqa: E402
 
 from pindel_tpu.testing.simulate import random_seq, rc, write_fasta  # noqa: E402
 
+import pytest  # noqa: E402
 
-def test_translocation_int_report(tmp_path):
+
+@pytest.mark.parametrize("backend", ["numpy", "fused", "mesh"])
+def test_translocation_int_report(tmp_path, backend):
     rng = np.random.default_rng(12)
     ref_a = random_seq(rng, 30_000)
     ref_b = random_seq(rng, 30_000)
@@ -49,7 +52,7 @@ def test_translocation_int_report(tmp_path):
 
     from pindel_tpu.__main__ import main
     assert main(["-f", fa, "-i", cfg, "-o", os.path.join(d, "out"),
-                 "-b", bd, "-I", "--backend", "numpy"]) == 0
+                 "-b", bd, "-I", "--backend", backend]) == 0
     int_text = open(os.path.join(d, "out_INT")).read()
     assert "Anchor + chrA" in int_text and "chrB" in int_text
     assert "support:" in int_text
@@ -58,7 +61,7 @@ def test_translocation_int_report(tmp_path):
 
     # without -I: no INT lines, empty final
     assert main(["-f", fa, "-i", cfg, "-o", os.path.join(d, "noi"),
-                 "-b", bd, "--backend", "numpy"]) == 0
+                 "-b", bd, "--backend", backend]) == 0
     assert not os.path.exists(os.path.join(d, "noi_INT")) \
         or open(os.path.join(d, "noi_INT")).read() == ""
     assert open(os.path.join(d, "noi_INT_final")).read() == ""

@@ -24,14 +24,14 @@ def _scene(tmp_path, seed=1):
     return d, fa, txt
 
 
-def _run_both(d, fa, txt, extra):
+def _run_both(d, fa, txt, extra, backend="numpy"):
     r = subprocess.run(["/tmp/pindel_oracle/pindel", "-f", fa, "-p", txt,
                         "-o", os.path.join(d, "gold"), "-s", *extra],
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout[-1500:]
     from pindel_tpu.__main__ import main
     assert main(["-f", fa, "-p", txt, "-o", os.path.join(d, "ours"),
-                 "-s", "--backend", "numpy", *extra]) == 0
+                 "-s", "--backend", backend, *extra]) == 0
     for suf in ("CloseEndMapped", "D", "SI", "TD", "INV"):
         gold = open(os.path.join(d, f"gold_{suf}")).read()
         ours = open(os.path.join(d, f"ours_{suf}")).read()
@@ -68,7 +68,8 @@ def test_exclude_bed(tmp_path, oracle):
     _run_both(d, fa, txt, ["-J", bed])
 
 
-def test_include_and_exclude_bed(tmp_path, oracle):
+@pytest.mark.parametrize("backend", ["numpy", "fused"])
+def test_include_and_exclude_bed(tmp_path, oracle, backend):
     d, fa, txt = _scene(tmp_path)
     inc = os.path.join(d, "inc.bed")
     with open(inc, "w") as fh:
@@ -77,7 +78,8 @@ def test_include_and_exclude_bed(tmp_path, oracle):
     exc = os.path.join(d, "exc.bed")
     with open(exc, "w") as fh:
         fh.write("chrT\t10000\t12000\nchrT\t58000\t59500\n")
-    _run_both(d, fa, txt, ["-j", inc, "-J", exc])
+    _run_both(d, fa, txt, ["-j", inc, "-J", exc],
+              backend=backend)
 
 
 def test_clean_up_bed_unit():

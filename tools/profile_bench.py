@@ -63,6 +63,9 @@ def main() -> int:
         t0 = time.time()
         s = Settings()
         s.profile = True
+        s.analyze_li = True                   # -l (matches bench.py)
+        s.analyze_bp = True                   # -k
+        s.report_close_mapped_reads = True    # -s
         run_files(fa, reads_txt, out, settings=s, backend=args.backend)
         dts.append(time.time() - t0)
         if prof is not None:
