@@ -99,6 +99,10 @@ def main(argv=None) -> int:
     ap.add_argument("-N", "--NormalSamples", dest="normal_samples",
                     action="store_true",
                     help="germline read-depth filtering of calls")
+    ap.add_argument("--hosts", type=int, default=1,
+                    help="shard windows across N processes (multi-host "
+                         "simulation; search scales out, reporting stays "
+                         "on rank 0 — see parallel/multihost.py)")
     ap.add_argument("--backend", choices=["numpy", "jax", "fused", "mesh"],
                     default="fused")
     args = ap.parse_args(argv)
@@ -158,6 +162,15 @@ def main(argv=None) -> int:
             ap.error("-q requires a bam config (-i)")
         return run_dd_files(args.fasta, args.config, args.output_prefix,
                             settings=s, backend=args.backend)
+    if args.hosts > 1:
+        if args.config:
+            ap.error("--hosts requires pindel-text input (-p/-P): BAM "
+                     "RP evidence accumulates sequentially per process")
+        from pindel_tpu.parallel.multihost import run_files_multihost
+        run_files_multihost(args.fasta, args.pindel_file,
+                            args.output_prefix, s, args.backend,
+                            args.hosts, pindel_config=args.pindel_config)
+        return 0
     run_files(args.fasta, args.pindel_file, args.output_prefix,
               settings=s, backend=args.backend, bam_config=args.config,
               pindel_config=args.pindel_config)

@@ -79,6 +79,10 @@ class _WindowSnap:
     current_end: int
     displayed_start: int
     displayed_end: int
+    index: int = 0          # global window counter (multi-host sharding)
+
+
+_DELEGATED = "delegated"    # close/far results come from a peer process
 
 
 def build_regions(settings: Settings, genome: Genome) -> List[BedRegion]:
@@ -139,6 +143,9 @@ class Pipeline:
         self.backend_factory = backend_factory  # chrom -> backend
         self.g_max_pos = 0
         self.input_reads: List[SplitRead] = []
+        self._consumed_chroms: set = set()
+        self._input_loader = None
+        self.spool = None        # multi-host window spool (parallel/multihost)
         self.bam_entries: List = []              # BAM mode (-i)
         self._bam_readers: Dict[str, object] = {}
         self._outputs: Dict[str, TextIO] = {}
@@ -158,6 +165,7 @@ class Pipeline:
 
     # ------------------------------------------------------------------ io
     def load_pindel_input(self, path: str) -> None:
+        self._input_loader = lambda: self.load_pindel_input(path)
         self.input_reads = list(read_pindel_file(path))
         self._index_reads()
 
@@ -181,6 +189,7 @@ class Pipeline:
                 files.append(toks[0])
         if not files:
             raise ValueError(f"no samples in pindel config file '{path}'")
+        self._input_loader = lambda: self.load_pindel_config(path)
         self.input_reads = []
         for f in files:
             self.input_reads.extend(read_pindel_file(f))
@@ -218,6 +227,19 @@ class Pipeline:
         self._outputs.clear()
 
     # -------------------------------------------------------------- intake
+    def _reload_input_if_consumed(self, chr_name: str) -> None:
+        """Reads are handed to windows without copying and mutated in
+        place; window intake ranges tile disjointly inside one BED region,
+        but a second region on the same chromosome (overlapping buffered
+        ranges, or a repeated run()) could hand a read out twice.  In that
+        rare case reload pristine reads from disk — the reference gets the
+        same effect by re-reading the file every window."""
+        if chr_name not in self._consumed_chroms:
+            return
+        if self._input_loader is not None:
+            self._input_loader()
+        self._consumed_chroms.clear()
+
     def _index_reads(self) -> None:
         """One-time (chrom -> position-sorted index) over the in-RAM read
         list so per-window intake is O(hits log hits) instead of a full
@@ -254,18 +276,22 @@ class Pipeline:
         lo = np.searchsorted(pos, window.current_start, side="left")
         hi = np.searchsorted(pos, window.current_end, side="left")
         hits = np.sort(idx[lo:hi])          # restore file order
+        if hits.size:
+            self._consumed_chroms.add(chrom.name)
+        sample_add = self.state.sample_names.add
+        reads = self.input_reads
         for i in hits:
-            read = self.input_reads[i]
-            # shallow copy is safe: search/detection always *assign*
-            # fresh lists/strings, never mutate shared ones
-            r = read.clone()
+            # windows partition the read list, so each read is handed out
+            # exactly once per run and is mutated in place; a re-run
+            # reloads pristine reads from disk (see run())
+            r = reads[i]
             if r.matched_rel_pos > chrom.biol_size:
                 r.matched_rel_pos = chrom.biol_size
             if r.matched_rel_pos < 0:
                 r.matched_rel_pos = 0
             # g_sampleNames.insert for every in-window read
             # (reader.cpp:290,335 — before close-end filtering)
-            self.state.sample_names.add(r.tag)
+            sample_add(r.tag)
             taken.append(r)
         return taken
 
@@ -344,12 +370,15 @@ class Pipeline:
 
     def run(self, regions: Optional[List[BedRegion]] = None) -> None:
         s = self.settings
+        self._window_counter = 0
         if regions is None:
             regions = self.build_regions()
         for bed in regions:
             chrom = self.genome.get(bed.chr_name)
             if chrom is None:
                 raise ValueError(f"no chromosome {bed.chr_name}")
+            if not self.bam_input:
+                self._reload_input_if_consumed(bed.chr_name)
             chr_seq = chrom.seq_str(0, chrom.comp_size)
             self.state.mask = bytearray(b"N" * chrom.comp_size)
             self.g_max_pos = 0          # reset per bed region (:1799)
@@ -368,11 +397,14 @@ class Pipeline:
             window = LoopingSearchWindow(chrom, s.window_size,
                                          bed.start, bed.end)
             pending = None
+            sp = self.spool
             while True:
                 wsnap = _WindowSnap(window.current_start,
                                     window.current_end,
                                     window.displayed_start,
-                                    window.displayed_end)
+                                    window.displayed_end,
+                                    self._window_counter)
+                self._window_counter += 1
                 with g_timer.phase("Reading in reads"):
                     if self.bam_input:
                         reads, ref_reads = self._window_reads_bam(
@@ -380,13 +412,25 @@ class Pipeline:
                     else:
                         reads = self._window_reads(chrom, window)
                         ref_reads = []
+                mine = sp is None or sp.mine(wsnap.index)
+                if sp is not None and sp.worker and not mine:
+                    # another process searches this window; a worker has
+                    # nothing else to do for it
+                    window.next()
+                    if window.finished(not self.bam_input, self.g_max_pos):
+                        break
+                    continue
                 for r in reads:
                     # g_maxInsertSize update in GetCloseEndInner
                     # (pindel.cpp:2257) — for every read searched
                     if r.insert_size > self.state.max_insert_size:
                         self.state.max_insert_size = r.insert_size
-                with g_timer.phase("Matching close ends"):
-                    token = self.searcher.map_close_ends_async(chrom, reads)
+                if mine:
+                    with g_timer.phase("Matching close ends"):
+                        token = self.searcher.map_close_ends_async(chrom,
+                                                                   reads)
+                else:
+                    token = _DELEGATED
                 if pending is not None:
                     self._process_window(pending, chrom, chr_seq, box_size,
                                          num_boxes, bed)
@@ -424,9 +468,17 @@ class Pipeline:
         self._update_ref_coverage(ref_reads, window)
         g_read_stats.in_window += len(reads)
         with g_timer.phase("Matching close ends"):
-            self.searcher.map_close_ends_finish(token)
-            kept = self.searcher.finalize_close_ends(reads)
+            if token is _DELEGATED:
+                # close+far anchors computed by a peer process
+                kept = self.spool.load(window.index)
+            else:
+                self.searcher.map_close_ends_finish(token)
+                kept = self.searcher.finalize_close_ends(reads)
         from pindel_tpu.reads import PLUS
+        if self.spool is not None and self.spool.worker and not kept:
+            self.spool.dump(window.index, [])    # coordinator still waits
+            g_read_stats.reset()
+            return
         for r in kept:
             if r.matched_d == PLUS:
                 g_read_stats.close_mapped_plus += 1
@@ -459,14 +511,21 @@ class Pipeline:
                         regs.append((c, w_start, w_end))
                     return regs
 
-                with g_timer.phase("Searching far ends"):
-                    self.searcher.search_far_ends(
-                        chrom, kept, bd_regions=bd_regions)
+                if token is not _DELEGATED:
+                    with g_timer.phase("Searching far ends"):
+                        self.searcher.search_far_ends(
+                            chrom, kept, bd_regions=bd_regions)
                 for r in kept:
                     if r.up_far:
                         g_read_stats.far_mapped += 1
                         r.far_frag_name = r.up_far[0].chr_name
                         r.matched_far_d = r.up_far[0].strand
+                if self.spool is not None and self.spool.worker:
+                    # worker role: ship this window's searched reads to
+                    # the coordinator and stop before any reporting
+                    self.spool.dump(window.index, kept)
+                    g_read_stats.reset()
+                    return
                 # per-window interchromosomal pool (pindel.cpp:1905-1917)
                 inter_sr: List[SplitRead] = []
                 if s.report_interchromosomal_events:
@@ -587,7 +646,8 @@ def run_files(reference_fa: str, pindel_file: Optional[str],
               output_prefix: str, settings: Optional[Settings] = None,
               backend: str = "numpy",
               bam_config: Optional[str] = None,
-              pindel_config: Optional[str] = None) -> Settings:
+              pindel_config: Optional[str] = None,
+              spool=None) -> Settings:
     """Convenience entry: -f/-p|-i|-P/-o equivalent."""
     s = settings or Settings()
     s.reference_filename = reference_fa
@@ -600,6 +660,7 @@ def run_files(reference_fa: str, pindel_file: Optional[str],
     genome = Genome.from_fasta(reference_fa)
     factory = make_backend_factory(backend, s)
     pipe = Pipeline(s, genome, backend_factory=factory)
+    pipe.spool = spool                    # multi-host window sharding
     pipe.create_output_files()
     if bam_config:
         pipe.load_bam_config(bam_config)

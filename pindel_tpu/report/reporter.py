@@ -1133,6 +1133,54 @@ def _largest_b(b_positions: np.ndarray, a: int, b: int) -> int:
     return -1
 
 
+class _PrevB:
+    """O(1) largest-masked-position-<=-x lookup over one window span
+    (the candidate scan issues ~30 _largest_b queries per pileup
+    candidate, which dominated the LI phase)."""
+
+    def __init__(self, b_positions: np.ndarray, lo: int, hi: int):
+        self.lo = lo - 16
+        self.hi = hi + 80
+        self.b_positions = b_positions
+        sel = b_positions[(b_positions >= self.lo)
+                          & (b_positions <= self.hi)]
+        prev = np.full(self.hi - self.lo + 1, -1, np.int64)
+        prev[sel - self.lo] = sel
+        np.maximum.accumulate(prev, out=prev)
+        self.prev = prev
+
+    def largest(self, a: int, b: int) -> int:
+        if b < self.lo or b > self.hi:
+            return _largest_b(self.b_positions, a, b)
+        v = int(self.prev[b - self.lo])
+        return v if v >= a else -1
+
+
+def _pileup(reads: List[SplitRead], sv: "_ShiftedCounts",
+            saturate: int) -> np.ndarray:
+    """Eligible-read close-end pileups per strand, vectorized
+    (reference reporter.cpp:1874-1906).  Increments saturate at
+    ``saturate`` exactly like the reference's capped ++.  Returns the
+    eligible read indices."""
+    n = len(reads)
+    elig = np.fromiter((not r.used and not r.up_far for r in reads),
+                       bool, n)
+    eligible = np.flatnonzero(elig)
+    if eligible.size == 0:
+        return eligible
+    locs = np.fromiter(
+        (reads[i].up_close.loc[len(reads[i].up_close) - 1]
+         for i in eligible), np.int64, eligible.size)
+    plus = np.fromiter((reads[i].matched_d == PLUS for i in eligible),
+                       bool, eligible.size)
+    cl = np.clip(locs, sv.lo, sv.hi) - sv.lo
+    np.add.at(sv.plus, cl[plus], 1)
+    np.add.at(sv.minus, cl[~plus], 1)
+    np.minimum(sv.plus, saturate, out=sv.plus)
+    np.minimum(sv.minus, saturate, out=sv.minus)
+    return eligible
+
+
 def sort_output_li(reads: List[SplitRead], chr_seq: str, window_start: int,
                    window_end: int, out: TextIO,
                    state: ReporterState) -> None:
@@ -1158,21 +1206,11 @@ def sort_output_li(reads: List[SplitRead], chr_seq: str, window_start: int,
     hi = abs_end + border
     sv = _ShiftedCounts(lo, hi)
 
-    eligible: List[int] = []
-    for i, r in enumerate(reads):
-        if r.used or r.up_far:
-            continue
-        eligible.append(i)
-        loc = sv.clamp(int(r.up_close.loc[len(r.up_close) - 1]))
-        if r.matched_d == PLUS:
-            if sv.plus[loc] < MAX_SHORT:
-                sv.plus[loc] += 1
-        else:
-            if sv.minus[loc] < MAX_SHORT:
-                sv.minus[loc] += 1
+    eligible = _pileup(reads, sv, MAX_SHORT)
 
     mask_np = np.frombuffer(state.mask, dtype=np.uint8)
     b_positions = np.flatnonzero(mask_np == ord("B"))
+    prevb = _PrevB(b_positions, lo, hi)
 
     # (plus_pos, minus_pos, plus_read_idx, minus_read_idx) in creation order
     li_events: List[List] = []
@@ -1182,14 +1220,14 @@ def sort_output_li(reads: List[SplitRead], chr_seq: str, window_start: int,
         im = int(cand)
         if im < pos or im >= hi:        # outer loop bound is < absEndBuffered
             continue
-        mb = _largest_b(b_positions, im - 10, im + 10)
+        mb = prevb.largest(im - 10, im + 10)
         if mb >= 0:
             pos = mb + 11               # Index_Minus = mb + 10, then ++
             continue
         ip = im - 1
         while ip <= im + 30:
             skip = False
-            mp = _largest_b(b_positions, ip - 10, ip + 10)
+            mp = prevb.largest(ip - 10, ip + 10)
             if mp >= 0:
                 if mp + 10 > im:
                     im = mp + 10        # mutates the outer index (reference)
@@ -1204,11 +1242,14 @@ def sort_output_li(reads: List[SplitRead], chr_seq: str, window_start: int,
     if not li_events:
         return
 
-    for i in eligible:
+    el_locs = np.fromiter(
+        (reads[i].up_close.loc[len(reads[i].up_close) - 1]
+         for i in eligible), np.int64, eligible.size)
+    el_ev = sv.event[np.clip(el_locs, lo, hi) - lo]
+    for k in np.flatnonzero(el_ev != -1):
+        i = int(eligible[k])
         r = reads[i]
-        ei = int(sv.event[sv.clamp(int(r.up_close.loc[len(r.up_close) - 1]))])
-        if ei == -1:
-            continue
+        ei = int(el_ev[k])
         r.used = True
         if r.matched_d == PLUS:
             li_events[ei][2].append(i)
@@ -1306,35 +1347,32 @@ def sort_output_rest(reads: List[SplitRead], chr_seq: str, window_start: int,
     hi = abs_end + border
     sv = _ShiftedCounts(lo, hi)
 
-    eligible: List[int] = []
-    for i, r in enumerate(reads):
-        if r.used or r.up_far:
-            continue
-        eligible.append(i)
-        loc = sv.clamp(int(r.up_close.loc[len(r.up_close) - 1]))
-        if r.matched_d == PLUS:
-            if sv.plus[loc] < cutoff_bp:
-                sv.plus[loc] += 1
-        else:
-            if sv.minus[loc] < cutoff_bp:
-                sv.minus[loc] += 1
+    eligible = _pileup(reads, sv, cutoff_bp)
 
     # (strand, abs position, supporting read indices) in position order
     rest: List[List] = []
-    for p in range(lo, hi):
-        if sv.plus[p - lo] >= cutoff_bp:
-            rest.append([PLUS, p, []])
-        if sv.minus[p - lo] >= cutoff_bp:
-            rest.append([MINUS, p, []])
+    by_key: Dict[tuple, List[int]] = {}
+    pp = np.flatnonzero(sv.plus[: hi - lo] >= cutoff_bp) + lo
+    mm = np.flatnonzero(sv.minus[: hi - lo] >= cutoff_bp) + lo
+    ip = im = 0
+    while ip < pp.size or im < mm.size:       # position order, PLUS first
+        if im >= mm.size or (ip < pp.size and pp[ip] <= mm[im]):
+            ev = [PLUS, int(pp[ip]), []]
+            ip += 1
+        else:
+            ev = [MINUS, int(mm[im]), []]
+            im += 1
+        rest.append(ev)
+        by_key[(ev[0], ev[1])] = ev[2]
     if not rest:
         return
     for i in eligible:
         r = reads[i]
         loc = int(r.up_close.loc[len(r.up_close) - 1])
-        for ev in rest:
-            if r.matched_d == ev[0] and loc == ev[1]:
-                r.used = True
-                ev[2].append(i)
+        sup = by_key.get((r.matched_d, loc))
+        if sup is not None:
+            r.used = True
+            sup.append(int(i))
 
     samples = state.sorted_samples()
     sample_idx = {name: k for k, name in enumerate(samples)}
