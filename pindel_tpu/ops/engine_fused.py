@@ -624,6 +624,23 @@ class FusedJaxBackend:
         return self.close_ends_decode(
             reads, self.close_ends_dispatch(reads, bp_start))
 
+    def _chunk_plan(self, n: int) -> List[Tuple[int, int]]:
+        """(lo, hi) chunks: a small leading chunk when the batch spills
+        over one bucket, so the host's decode stream starts after the
+        first small kernel instead of the first full-size one."""
+        big = self.B_BUCKETS[-1]
+        if n == 0:
+            return []
+        if n <= big:
+            return [(0, n)]
+        first = self.B_BUCKETS[-2]
+        plan = [(0, first)]
+        lo = first
+        while lo < n:
+            plan.append((lo, min(lo + big, n)))
+            lo += big
+        return plan
+
     def close_ends_dispatch(self, reads, bp_start: int):
         """Async half of close_ends: uploads and launches every chunk,
         returns a token for ``close_ends_decode``."""
@@ -631,8 +648,7 @@ class FusedJaxBackend:
         results: List[Tuple[Optional[ChainDecode], int, bool]] = \
             [(None, -1, False)] * n
         pending = []
-        for lo in range(0, n, self.B_BUCKETS[-1]):
-            hi = min(lo + self.B_BUCKETS[-1], n)
+        for lo, hi in self._chunk_plan(n):
             pending.append(
                 self._close_dispatch(reads[lo:hi], lo, results, bp_start))
         return results, pending
@@ -640,9 +656,19 @@ class FusedJaxBackend:
     def close_ends_decode(self, reads, token):
         results, pending = token
         for st in pending:
-            if st is not None:
+            if st["dev"] is not None:
                 self._close_decode(st, results)
         return results
+
+    def close_ends_decode_stream(self, reads, token):
+        """Yield (lo, hi, results) per chunk as its device results land —
+        callers can finalize and dispatch far-end kernels for early
+        chunks while later close chunks still execute."""
+        results, pending = token
+        for st in pending:
+            if st["dev"] is not None:
+                self._close_decode(st, results)
+            yield st["base"], st["base"] + st["nb"], results
 
     def _close_dispatch(self, reads, base: int, results, bp_start: int):
         from pindel_tpu.genome import SPACER
@@ -681,7 +707,7 @@ class FusedJaxBackend:
             # fallback path)
             for i in range(nb):
                 results[base + i] = (None, -1, True)
-            return
+            return dict(dev=None, base=base, nb=nb)
         win32 = win.astype(np.int32)
 
         t1 = time.monotonic()
@@ -756,14 +782,24 @@ class FusedJaxBackend:
         spans are the per-round half-window spans (64*4^k).  Returns per
         read: (chain | None, lane_minus, replaced, needs_fallback).
         """
+        return self.far_ends_decode(
+            reads, self.far_ends_dispatch(reads, spans, comp_size,
+                                          bp_start))
+
+    def far_ends_dispatch(self, reads, spans: Sequence[int],
+                          comp_size: int, bp_start: int = 10):
+        """Async half of far_ends (token for ``far_ends_decode``)."""
         n = len(reads)
         results: List[Tuple[Optional[ChainDecode], bool, bool, bool]] = \
             [(None, False, False, False)] * n
         pending = []
-        for lo in range(0, n, self.B_BUCKETS[-1]):
-            hi = min(lo + self.B_BUCKETS[-1], n)
+        for lo, hi in self._chunk_plan(n):
             pending.append(self._far_dispatch(reads[lo:hi], lo, spans,
                                               comp_size, bp_start))
+        return results, pending
+
+    def far_ends_decode(self, reads, token):
+        results, pending = token
         for st in pending:
             self._far_decode(st, results)
         return results

@@ -278,7 +278,6 @@ class Pipeline:
         hits = np.sort(idx[lo:hi])          # restore file order
         if hits.size:
             self._consumed_chroms.add(chrom.name)
-        sample_add = self.state.sample_names.add
         reads = self.input_reads
         for i in hits:
             # windows partition the read list, so each read is handed out
@@ -289,9 +288,6 @@ class Pipeline:
                 r.matched_rel_pos = chrom.biol_size
             if r.matched_rel_pos < 0:
                 r.matched_rel_pos = 0
-            # g_sampleNames.insert for every in-window read
-            # (reader.cpp:290,335 — before close-end filtering)
-            sample_add(r.tag)
             taken.append(r)
         return taken
 
@@ -396,8 +392,18 @@ class Pipeline:
             # produced strictly in window order by _process_window.
             window = LoopingSearchWindow(chrom, s.window_size,
                                          bed.start, bed.end)
-            pending = None
+            pending = None          # 1-deep: close dispatched
+            pending_far = None      # 2-deep: far dispatched
             sp = self.spool
+            # With no BD evidence, no BAM RP state and no spool, windows
+            # share no search-time state, so the pipeline can run TWO
+            # windows deep: window N's far kernels execute while window
+            # N+1's close kernels are dispatched and window N-1 is
+            # detected/reported on host.  Otherwise stay 1-deep (close
+            # prefetch only) to preserve the sequential BD/RP semantics.
+            deep = (sp is None and not self.bam_input
+                    and not self.bd.events
+                    and not self.bd.events_external)
             while True:
                 wsnap = _WindowSnap(window.current_start,
                                     window.current_end,
@@ -420,31 +426,56 @@ class Pipeline:
                     if window.finished(not self.bam_input, self.g_max_pos):
                         break
                     continue
-                for r in reads:
-                    # g_maxInsertSize update in GetCloseEndInner
-                    # (pindel.cpp:2257) — for every read searched
-                    if r.insert_size > self.state.max_insert_size:
-                        self.state.max_insert_size = r.insert_size
+                staged = None
+                if deep and pending is not None:
+                    staged = self._search_stage(pending, chrom)
+                    pending = None
                 if mine:
                     with g_timer.phase("Matching close ends"):
                         token = self.searcher.map_close_ends_async(chrom,
                                                                    reads)
                 else:
                     token = _DELEGATED
-                if pending is not None:
+                if deep:
+                    if pending_far is not None:
+                        self._process_window(pending_far, chrom, chr_seq,
+                                             box_size, num_boxes, bed)
+                    pending_far = staged
+                elif pending is not None:
                     self._process_window(pending, chrom, chr_seq, box_size,
                                          num_boxes, bed)
-                pending = (wsnap, reads, ref_reads, token)
+                if not deep or pending is None:
+                    pending = (wsnap, reads, ref_reads, token)
                 window.next()
                 if window.finished(not self.bam_input, self.g_max_pos):
                     break
-            if pending is not None:
-                self._process_window(pending, chrom, chr_seq, box_size,
-                                     num_boxes, bed)
+            if deep and pending is not None:
+                staged = self._search_stage(pending, chrom)
+                pending = None
+                if pending_far is not None:
+                    self._process_window(pending_far, chrom, chr_seq,
+                                         box_size, num_boxes, bed)
+                pending_far = staged
+            for tail in (pending_far, pending):
+                if tail is not None:
+                    self._process_window(tail, chrom, chr_seq, box_size,
+                                         num_boxes, bed)
+            pending = pending_far = None
         # final interchromosomal merge, unconditional (pindel.cpp:1999)
         if "INT" in self._outputs:
             self._outputs["INT"].flush()
         merge_inter_chr(self.settings.out("INT"))
+
+    def _search_stage(self, pending, chrom: Chromosome):
+        """Deep-pipelining half-step: stream the window's close-end
+        results chunk by chunk, dispatching each chunk's far-end kernels
+        as soon as it is finalized (far execution overlaps the remaining
+        close chunks on device); reporting happens one iteration later
+        (only valid with no BD/RP/spool state — see run())."""
+        window, reads, ref_reads, token = pending
+        with g_timer.phase("Matching close ends"):
+            kept, far_tokens = self.searcher.close_far_stream(chrom, token)
+        return (window, reads, ref_reads, kept, far_tokens)
 
     def _process_window(self, pending, chrom: Chromosome, chr_seq: str,
                         box_size: int, num_boxes: int,
@@ -452,9 +483,22 @@ class Pipeline:
         """Host stages of one window, in window order (the close-end
         device work was dispatched when the window was read in)."""
         s = self.settings
-        window, reads, ref_reads, token = pending
+        if len(pending) == 5:       # deep pipeline: search already staged
+            window, reads, ref_reads, kept, far_tokens = pending
+            token = None
+        else:
+            window, reads, ref_reads, token = pending
+            kept = far_tokens = None
         self.state.region_start = window.current_start
         self.state.region_end = window.current_end
+        for r in reads:
+            # g_maxInsertSize update in GetCloseEndInner (pindel.cpp:2257)
+            # and g_sampleNames.insert for every in-window read
+            # (reader.cpp:290,335) — both strictly in window order
+            if r.insert_size > self.state.max_insert_size:
+                self.state.max_insert_size = r.insert_size
+            if not self.bam_input:
+                self.state.sample_names.add(r.tag)
         # RP discovery + BD-like event conversion (pindel.cpp:1837-1847),
         # then window rasterization.  Neither affects close-end mapping,
         # so they run after the close dispatch.
@@ -467,13 +511,14 @@ class Pipeline:
                             window.current_end + SPACER)
         self._update_ref_coverage(ref_reads, window)
         g_read_stats.in_window += len(reads)
-        with g_timer.phase("Matching close ends"):
-            if token is _DELEGATED:
-                # close+far anchors computed by a peer process
-                kept = self.spool.load(window.index)
-            else:
-                self.searcher.map_close_ends_finish(token)
-                kept = self.searcher.finalize_close_ends(reads)
+        if kept is None:
+            with g_timer.phase("Matching close ends"):
+                if token is _DELEGATED:
+                    # close+far anchors computed by a peer process
+                    kept = self.spool.load(window.index)
+                else:
+                    self.searcher.map_close_ends_finish(token)
+                    kept = self.searcher.finalize_close_ends(reads)
         from pindel_tpu.reads import PLUS
         if self.spool is not None and self.spool.worker and not kept:
             self.spool.dump(window.index, [])    # coordinator still waits
@@ -511,7 +556,12 @@ class Pipeline:
                         regs.append((c, w_start, w_end))
                     return regs
 
-                if token is not _DELEGATED:
+                if far_tokens is not None:
+                    # deep pipeline: kernels already dispatched (no BD)
+                    with g_timer.phase("Searching far ends"):
+                        for ft in far_tokens:
+                            self.searcher.search_far_ends_finish(ft)
+                elif token is not _DELEGATED:
                     with g_timer.phase("Searching far ends"):
                         self.searcher.search_far_ends(
                             chrom, kept, bd_regions=bd_regions)

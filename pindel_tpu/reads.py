@@ -258,19 +258,40 @@ def _make_read(name: str, seq: str, meta: List[str]) -> SplitRead:
 
 
 def read_pindel_file(path: str) -> Iterator[SplitRead]:
-    """Iterate SplitReads from a Pindel text file (optionally .gz)."""
+    """Iterate SplitReads from a Pindel text file (optionally .gz).
+
+    Clean files (every record exactly three non-blank lines starting with
+    '@') take a whole-file batch path; anything irregular falls back to
+    the line-by-line reader with identical semantics."""
     opener = open
     if path.endswith(".gz"):
         import gzip
         opener = gzip.open  # type: ignore[assignment]
     with opener(path, "rt") as fh:
-        while True:
-            name = fh.readline()
-            if not name:
-                return
-            name = name.rstrip("\n")
-            if not name:
-                continue
-            seq = fh.readline().rstrip("\n")
-            meta = fh.readline().split()
-            yield _make_read(name, seq, meta)
+        data = fh.read()
+    lines = data.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    if len(lines) % 3 == 0 and "" not in lines:
+        # with no blank lines the line reader consumes exactly 3 lines
+        # per record, so the batch path is equivalent
+        mk = _make_read
+        for k in range(0, len(lines), 3):
+            yield mk(lines[k], lines[k + 1], lines[k + 2].split())
+        return
+    yield from _read_pindel_lines(lines)
+
+
+def _read_pindel_lines(lines: List[str]) -> Iterator[SplitRead]:
+    i = 0
+    n = len(lines)
+    while i < n:
+        name = lines[i]
+        i += 1
+        if not name:
+            continue
+        seq = lines[i] if i < n else ""
+        i += 1
+        meta = lines[i].split() if i < n else []
+        i += 1
+        yield _make_read(name, seq, meta)

@@ -174,6 +174,32 @@ class Searcher:
         pending = self.backend.close_ends_dispatch(active, s.min_close)
         return (chrom, reads, active, pending)
 
+    def close_far_stream(self, chrom: Chromosome, close_token):
+        """Streamed deep-pipeline step: as each close-end chunk's device
+        results land, finalize its reads and immediately dispatch their
+        far-end kernels — far execution overlaps the remaining close
+        chunks.  Returns (kept reads in order, list of far tokens)."""
+        chrom_, reads, active, tok = close_token
+        if tok is None or not hasattr(self.backend,
+                                      "close_ends_decode_stream"):
+            self.map_close_ends_finish(close_token)
+            kept = self.finalize_close_ends(reads)
+            if not kept or self.settings.report_only_close_mapped_reads:
+                return kept, []
+            return kept, [self.search_far_ends_async(chrom, kept)]
+        kept_all: List[SplitRead] = []
+        far_tokens = []
+        only_close = self.settings.report_only_close_mapped_reads
+        for lo, hi, results in self.backend.close_ends_decode_stream(
+                active, tok):
+            sub = active[lo:hi]
+            self._consume_close_results(chrom, sub, results[lo:hi])
+            kept = self.finalize_close_ends(sub)
+            kept_all.extend(kept)
+            if kept and not only_close:
+                far_tokens.append(self.search_far_ends_async(chrom, kept))
+        return kept_all, far_tokens
+
     def map_close_ends_finish(self, token) -> None:
         chrom, reads, active, pending = token
         if pending is None:
@@ -300,6 +326,36 @@ class Searcher:
         else:
             self._far_geometric(chrom, active, self.backend)
 
+    def search_far_ends_async(self, chrom: Chromosome,
+                              reads: Sequence[SplitRead]):
+        """Dispatch geometric far-end kernels without blocking (fused
+        backends, no BD windows); token for ``search_far_ends_finish``.
+        Used by the pipeline's deep window pipelining."""
+        s = self.settings
+        active = [r for r in reads
+                  if not r.mapper_split and r.up_close
+                  and r.seq_codes()[0] != dna.N
+                  and not r.good_far_end_found()]
+        if not (hasattr(self.backend, "far_ends_dispatch")
+                and s.max_range_index <= 4):
+            return (chrom, active, None, None)
+        spans = [64 * 4 ** k for k in range(s.max_range_index + 1)]
+        token = self.backend.far_ends_dispatch(active, spans,
+                                               chrom.comp_size, bp_start=10)
+        return (chrom, active, token, None)
+
+    def search_far_ends_finish(self, far_token) -> None:
+        chrom, active, token, _ = far_token
+        if token is None:
+            if hasattr(self.backend, "far_ends") and \
+                    self.settings.max_range_index <= 4:
+                self._far_geometric_fused(chrom, active)
+            else:
+                self._far_geometric(chrom, active, self.backend)
+            return
+        results = self.backend.far_ends_decode(active, token)
+        self._consume_far_results(chrom, active, results)
+
     def _far_geometric_fused(self, chrom: Chromosome,
                              active: List[SplitRead]) -> None:
         """Fused path: all escalation rounds in one launch; non-uniform
@@ -308,6 +364,9 @@ class Searcher:
         spans = [64 * 4 ** k for k in range(s.max_range_index + 1)]
         results = self.backend.far_ends(active, spans, chrom.comp_size,
                                         bp_start=10)
+        self._consume_far_results(chrom, active, results)
+
+    def _consume_far_results(self, chrom: Chromosome, active, results):
         fallback: List[SplitRead] = []
         for r, (chain, lane_minus, replaced, needs_fb) in zip(active,
                                                               results):

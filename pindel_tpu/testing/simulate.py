@@ -190,11 +190,12 @@ def standard_scene(seed: int = 0, chrom_len: int = 60_000,
                    kinds: Optional[List[str]] = None,
                    chrom: str = "chrT",
                    n_noise: int = 10,
+                   insert_size: int = 500,
                    ) -> Tuple[str, List[Event], SimReads]:
     """A reference + planted events + reads; deterministic per seed."""
     rng = np.random.default_rng(seed)
     ref = random_seq(rng, chrom_len)
-    sim = Simulator(rng)
+    sim = Simulator(rng, insert_size=insert_size)
     kinds = kinds or ["DEL", "SI", "DEL", "DI", "INV", "TD", "DEL", "SI"]
     events: List[Event] = []
     out = SimReads([], [], [])
