@@ -99,6 +99,12 @@ def main(argv=None) -> int:
     ap.add_argument("-N", "--NormalSamples", dest="normal_samples",
                     action="store_true",
                     help="germline read-depth filtering of calls")
+    ap.add_argument("-z", "--assembly", default="",
+                    help="assembly mode: assemble breakpoints for the SV "
+                         "list in this file (Type ChrA PosA CI_A ChrB "
+                         "PosB CI_B records) into <prefix>_ASM; the "
+                         "reference parses -z then exits "
+                         "(pindel.cpp:1738-1742) — here the mode is live")
     ap.add_argument("--hosts", type=int, default=1,
                     help="shard windows across N processes (multi-host "
                          "simulation; search scales out, reporting stays "
@@ -148,6 +154,13 @@ def main(argv=None) -> int:
         nm=args.nm,
         profile=args.profile,
     )
+    if args.assembly:
+        if not args.config:
+            ap.error("-z requires a bam config (-i)")
+        from pindel_tpu.assembly import run_assembly_files
+        return run_assembly_files(args.fasta, args.config, args.assembly,
+                                  args.output_prefix, settings=s,
+                                  backend=args.backend)
     if args.genotyping:
         if not args.config:
             ap.error("-g requires a bam config (-i)")

@@ -166,6 +166,8 @@ class SplitRead:
     left_most_pos: int = 0
     read_group: str = ""
     sample_name_to_number: Optional[dict] = None
+    thickness: int = 0            # assembled-contig support (assembly mode)
+    read_count_per_sample: Optional[dict] = None
 
     def clone(self) -> "SplitRead":
         """Fast shallow copy (copy.copy dispatch is hot at WGS scale)."""
