@@ -89,6 +89,9 @@ def _native_detect():
                 i64p, i64p, i64p, i64p,
                 i64p, i64p, i64p, i64p, u8p,
                 i32p, i32p, ctypes.c_int32]
+            lib.ptdetect_di_sort.restype = None
+            lib.ptdetect_di_sort.argtypes = [
+                ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
         except Exception:
             _ND = False
             return None

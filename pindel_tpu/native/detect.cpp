@@ -155,4 +155,30 @@ void ptdetect_first_pairs(
   }
 }
 
+// SortOutputDI's in-place exchange sort (reporter.cpp:1718-1752): swaps
+// on strict key order only, so the order of tied elements depends on the
+// swap history and cannot be expressed as a sort key — run the literal
+// loop natively.  idx is permuted in place.
+void ptdetect_di_sort(int64_t n, const int64_t* bpl, const int64_t* bpr,
+                      const int64_t* nts, const int64_t* bp,
+                      int64_t* idx) {
+  for (int64_t first = 0; first + 1 < n; first++) {
+    for (int64_t second = first + 1; second < n; second++) {
+      const int64_t a = idx[first], b = idx[second];
+      bool swap;
+      if (bpl[a] < bpl[b]) continue;
+      else if (bpl[a] > bpl[b]) swap = true;
+      else if (bpr[a] < bpr[b]) continue;
+      else if (bpr[a] > bpr[b]) swap = true;
+      else if (nts[a] < nts[b]) continue;
+      else if (nts[a] > nts[b]) swap = true;
+      else swap = bp[a] > bp[b];
+      if (swap) {
+        idx[first] = b;
+        idx[second] = a;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -578,10 +578,17 @@ class FusedJaxBackend:
 
     @staticmethod
     def _w_bucket(width: int) -> int:
+        """Window bucket: 128·2^k with 3·2^k intermediates (192, 384,
+        768, 1536, ...) — the range-1 close window is 3x the library
+        insert size, so power-of-two-only buckets waste up to 25% of the
+        dominant scan (insert 500 -> window 1500 -> bucket 2048)."""
         b = 128
-        while b < width:
+        while True:
+            if width <= b:
+                return b
+            if width <= (b // 2) * 3:
+                return (b // 2) * 3
             b *= 2
-        return b
 
     def _budgets(self, qlen: np.ndarray, nb: int):
         ms = self.maxmm[np.minimum(qlen, MAX_READ_LENGTH - 1)].astype(

@@ -62,8 +62,31 @@ def smaller(a: SplitRead, b: SplitRead) -> bool:
 
 
 def bubblesort_reads(reads: List[SplitRead], indices: List[int]) -> None:
-    """Selection-style sort that swaps on ties (reporter.cpp:932-942)."""
+    """Exchange sort that also swaps on ties (reporter.cpp:932-942).
+
+    Swapping on every non-smaller pair yields ascending order with tied
+    elements in REVERSED input order (verified against the literal loop
+    in tests), so when every read shares one fragment name — always true
+    inside a per-chromosome box, making the CompareFragName quirk moot —
+    the permutation is one stable lexsort on (keys..., -input index).
+    Mixed fragment names fall back to the literal loop."""
     n = len(indices)
+    if n < 2:
+        return
+    frag0 = reads[indices[0]].frag_name
+    if n > 8 and all(reads[i].frag_name == frag0 for i in indices):
+        keys = np.empty((5, n), np.int64)
+        for k, i in enumerate(indices):
+            r = reads[i]
+            keys[0, k] = r.bp_left
+            keys[1, k] = r.bp_right
+            keys[2, k] = r.indel_size
+            keys[3, k] = r.nt_size
+            keys[4, k] = r.bp
+        order = np.lexsort((-np.arange(n), keys[4], keys[3], keys[2],
+                            keys[1], keys[0]))
+        indices[:] = [indices[k] for k in order]
+        return
     for first in range(n - 1):
         for second in range(first + 1, n):
             if not smaller(reads[indices[first]], reads[indices[second]]):
@@ -72,16 +95,20 @@ def bubblesort_reads(reads: List[SplitRead], indices: List[int]) -> None:
 
 
 def mark_duplicates(reads: List[SplitRead], indices: List[int]) -> None:
-    """Reference markDuplicates (reporter.cpp:946-972)."""
-    n = len(indices)
-    for first in range(n - 1):
-        a = reads[indices[first]]
-        if not a.unique_read:
-            continue
-        for second in range(first + 1, n):
-            b = reads[indices[second]]
-            if a.left == b.left and a.right == b.right and a.name == b.name:
-                b.unique_read = False
+    """Reference markDuplicates (reporter.cpp:946-972): every read whose
+    (left, right, name) was already seen by an earlier (still-unique)
+    read loses its unique flag — equivalent to keeping only the first
+    occurrence of each triple, since reads enter with unique_read True
+    (finalize_close_ends) and the first occurrence always marks the
+    rest of its group."""
+    seen = set()
+    for i in indices:
+        r = reads[i]
+        key = (r.left, r.right, r.name)
+        if key in seen:
+            r.unique_read = False
+        else:
+            seen.add(key)
 
 
 @dataclasses.dataclass
@@ -1430,6 +1457,54 @@ def sort_output_rest(reads: List[SplitRead], chr_seq: str, window_start: int,
                           f"\t{r.tag}\t{r.name}\n")
 
 
+def _di_sort(reads: List[SplitRead], box: List[int]) -> None:
+    """SortOutputDI's exchange sort (reporter.cpp:1718-1752).  The tied
+    elements' final order depends on the swap history (not expressible
+    as a sort key), so the literal loop runs natively when available."""
+    n = len(box)
+    if n < 2:
+        return
+    from pindel_tpu.events.detect import _native_detect
+    lib = _native_detect()
+    if lib is not None and n > 8:
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        bpl = np.fromiter((reads[i].bp_left for i in box), np.int64, n)
+        bpr = np.fromiter((reads[i].bp_right for i in box), np.int64, n)
+        nts = np.fromiter((reads[i].nt_size for i in box), np.int64, n)
+        bp = np.fromiter((reads[i].bp for i in box), np.int64, n)
+        idx = np.arange(n, dtype=np.int64)
+        lib.ptdetect_di_sort(n, bpl.ctypes.data_as(i64p),
+                             bpr.ctypes.data_as(i64p),
+                             nts.ctypes.data_as(i64p),
+                             bp.ctypes.data_as(i64p),
+                             idx.ctypes.data_as(i64p))
+        box[:] = [box[k] for k in idx.tolist()]
+        return
+    for first in range(n - 1):
+        for second in range(first + 1, n):
+            a, b = reads[box[first]], reads[box[second]]
+            swap = False
+            if a.bp_left < b.bp_left:
+                continue
+            elif a.bp_left > b.bp_left:
+                swap = True
+            else:
+                if a.bp_right < b.bp_right:
+                    continue
+                elif a.bp_right > b.bp_right:
+                    swap = True
+                else:
+                    if a.nt_size < b.nt_size:
+                        continue
+                    elif a.nt_size > b.nt_size:
+                        swap = True
+                    elif a.bp > b.bp:
+                        swap = True
+            if swap:
+                box[first], box[second] = box[second], box[first]
+
+
 def sort_output_di(reads: List[SplitRead], boxes: List[List[int]],
                    chr_seq: str, out_d: TextIO, out_inv: TextIO,
                    state: ReporterState) -> None:
@@ -1443,37 +1518,21 @@ def sort_output_di(reads: List[SplitRead], boxes: List[List[int]],
         if len(box) < cutoff:
             continue
         n = len(box)
-        for first in range(n - 1):
-            for second in range(first + 1, n):
-                a, b = reads[box[first]], reads[box[second]]
-                swap = False
-                if a.bp_left < b.bp_left:
-                    continue
-                elif a.bp_left > b.bp_left:
-                    swap = True
-                else:
-                    if a.bp_right < b.bp_right:
-                        continue
-                    elif a.bp_right > b.bp_right:
-                        swap = True
-                    else:
-                        if a.nt_size < b.nt_size:
-                            continue
-                        elif a.nt_size > b.nt_size:
-                            swap = True
-                        elif a.bp > b.bp:
-                            swap = True
-                if swap:
-                    box[first], box[second] = box[second], box[first]
-        for first in range(n - 1):
-            for second in range(first + 1, n):
-                a, b = reads[box[first]], reads[box[second]]
-                if a.read_length == b.read_length:
-                    if (a.left_most_pos == b.left_most_pos
-                            or a.left_most_pos + a.read_length
-                            == b.left_most_pos + b.read_length):
-                        if a.matched_d == b.matched_d:
-                            b.unique_read = False
+        _di_sort(reads, box)
+        # duplicate marking (reporter.cpp:1754-1766): b loses its flag
+        # when ANY earlier read (unique or not) shares read length and
+        # strand and either end — two running seen-sets are equivalent
+        seen_l = set()
+        seen_r = set()
+        for i in box:
+            r = reads[i]
+            rl = r.read_length
+            kl = (rl, r.matched_d, r.left_most_pos)
+            kr = (rl, r.matched_d, r.left_most_pos + rl)
+            if kl in seen_l or kr in seen_r:
+                r.unique_read = False
+            seen_l.add(kl)
+            seen_r.add(kr)
         good = [reads[i] for i in box if reads[i].unique_read]
         if not good:
             continue
