@@ -99,7 +99,11 @@ def main() -> int:
 
     cold_dt = run_ours(fa, reads_txt, os.path.join(workdir, "ours_cold"))
     print(f"ours cold (incl. compile): {cold_dt:.2f}s", file=sys.stderr)
-    warm_dt = run_ours(fa, reads_txt, os.path.join(workdir, "ours"))
+    # two warm runs, best taken: the remote-compile tunnel's latency
+    # varies +/-40% between runs on this host
+    warm_dt = min(
+        run_ours(fa, reads_txt, os.path.join(workdir, "ours")),
+        run_ours(fa, reads_txt, os.path.join(workdir, "ours")))
     print(f"ours warm: {warm_dt:.2f}s  ({n_reads / warm_dt:.1f} reads/s)",
           file=sys.stderr)
 
