@@ -110,14 +110,15 @@ def _scan_lanes(chrom, slice_start, reverse, qq, valid_w, qlen,
     tiles = jax.vmap(jax.vmap(load_tile))(slice_start, reverse)  # [B,NL,T]
 
     rows = b * nl
-    kmin, k2 = _scan_rows(
+    kmin, k2, cum_end = _scan_rows(
         tiles.reshape(rows, tile_len), qq.reshape(rows, lmax),
         valid_w.reshape(rows),
         jnp.repeat(qlen, nl), jnp.repeat(tsec_minus, nl),
-        jnp.repeat(thr, nl), w=w, lmax=lmax, mpm=mpm,
+        w=w, lmax=lmax, mpm=mpm,
         lsteps=lsteps or lmax)
     kmin = kmin.reshape(b, g, nlg, lmax)
     k2 = k2.reshape(b, g, nlg, lmax)
+    cum_flat = cum_end.reshape(b, g, nlg * w)
 
     shift = _key_shift(w)
     if nlg == 1:
@@ -144,7 +145,11 @@ def _scan_lanes(chrom, slice_start, reverse, qq, valid_w, qlen,
     rep_w = (kmin_g >> 2) & ((1 << (shift - 2)) - 1)
     rep_key = rep_w if nlg == 1 else lane_of * w + rep_w
     rep_strict_bad = (kmin_g & 2) == 2
-    fit_ok = (kmin_g & 1) == 0
+    # deferred CheckMismatches fit: gather the representative's whole-read
+    # mismatch count (fit when count >= thr — the reference's inverted
+    # comparison, searcher.cpp:383-387)
+    rep_cum = jnp.take_along_axis(cum_flat, rep_key, axis=2)
+    fit_ok = rep_cum >= thr[:, None, None]
     return min_mm, lvl2, rep_key, rep_strict_bad, fit_ok
 
 
@@ -153,22 +158,24 @@ def _key_shift(w: int) -> int:
     return wbits + 2
 
 
-def _scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+def _scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
                *, w: int, lmax: int, mpm: int, lsteps: int = 0):
-    """Per-row packed-key scan: [R, T] tiles -> kmin/k2 [R, lmax] int32.
+    """Per-row packed-key scan: [R, T] tiles -> (kmin, k2, cum_end) —
+    [R, lmax] int32 packed keys plus the [R, w] whole-read mismatch
+    counts for the deferred fit gather.
 
     ``lsteps`` bounds the scan to the longest real query (lengths beyond
     it cannot emit: in_range needs length <= qlen-1 <= lsteps); the
     outputs stay [R, lmax] with zeros past lsteps."""
     lsteps = lsteps or lmax
     if jax.default_backend() == "tpu":
-        return _pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+        return _pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
                                  w=w, lmax=lmax, mpm=mpm, lsteps=lsteps)
-    return _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+    return _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
                           w=w, lmax=lmax, mpm=mpm, lsteps=lsteps)
 
 
-def _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+def _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
                    *, w: int, lmax: int, mpm: int, lsteps: int = 0):
     lsteps = lsteps or lmax
     small = lmax <= 255
@@ -191,29 +198,24 @@ def _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
         match = jnp.where(is_n, ref != dna.N, ref == qb)
         return ref, qb, ~match, ref != qb
 
-    # pass 1: whole-read mismatches -> per-candidate bad-fit bit
-    def body1(carry, l):
-        _, _, mm, _ = step_mm(l)
-        inc = jnp.where((l >= 1) & (l < qlen[:, None]), mm, False)
-        return carry + inc.astype(cum_dtype), None
-    cum_end, _ = jax.lax.scan(body1, jnp.zeros((r, w), cum_dtype),
-                              jnp.arange(lsteps, dtype=jnp.int32))
-    badfit = (cum_end.astype(jnp.int32) < thr[:, None]).astype(jnp.int32)
-
-    # pass 2: packed-key stats per length
-    def body2(carry, l):
+    # Single pass (see pallas_scan._kernel): cum is gated by qlen so its
+    # final value is the whole-read count (CheckMismatches fit input);
+    # the fit bit never affects which candidate wins the key min, so it
+    # is gathered at the winner afterwards instead of scanned twice.
+    def body(carry, l):
         cum, ws = carry
         _, _, mm, strict_mm = step_mm(l)
-        first = l == 0
-        cum = cum + jnp.where(first, False, mm).astype(cum_dtype)
+        gate = (l >= 1) & (l < qlen[:, None])
+        cum = cum + jnp.where(gate, mm, False).astype(cum_dtype)
         # rolling strict window: retire the step that falls out (recompute
         # from the tile instead of carrying an mpm-deep history ring)
         _, _, _, strict_old = step_mm(jnp.maximum(l - mpm, 0))
+        first = l == 0
         ws = (ws + jnp.where(first, False, strict_mm).astype(jnp.uint8)
               - jnp.where(l - mpm >= 1, strict_old, False).astype(jnp.uint8))
         lvl = jnp.where(seeded & (cum <= tsec_b), cum, cum_dtype(dead))
         keys = ((lvl.astype(jnp.int32) << shift) | key_w
-                | ((ws > 0).astype(jnp.int32) << 1) | badfit)
+                | ((ws > 0).astype(jnp.int32) << 1))
         kmin = jnp.min(keys, axis=1)
         k2 = jnp.min(jnp.where(keys == kmin[:, None],
                                jnp.int32(2 ** 30), keys), axis=1)
@@ -221,18 +223,19 @@ def _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
 
     z = jnp.zeros((r, w), cum_dtype)
     zu = jnp.zeros((r, w), jnp.uint8)
-    _, (kmin, k2) = jax.lax.scan(body2, (z, zu),
-                                 jnp.arange(lsteps, dtype=jnp.int32))
+    (cum_end, _), (kmin, k2) = jax.lax.scan(
+        body, (z, zu), jnp.arange(lsteps, dtype=jnp.int32))
     pad = ((0, 0), (0, lmax - lsteps))
     return (jnp.pad(jnp.moveaxis(kmin, 0, 1), pad),
-            jnp.pad(jnp.moveaxis(k2, 0, 1), pad))
+            jnp.pad(jnp.moveaxis(k2, 0, 1), pad),
+            cum_end.astype(jnp.int32))
 
 
-def _pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+def _pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
                       *, w: int, lmax: int, mpm: int, lsteps: int = 0):
-    """Pallas TPU kernel: both passes with the carry resident in VMEM."""
+    """Pallas TPU kernel: one pass with the carry resident in VMEM."""
     from pindel_tpu.ops.pallas_scan import pallas_scan_rows
-    return pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+    return pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
                             w=w, lmax=lmax, mpm=mpm, lsteps=lsteps or lmax)
 
 

@@ -19,16 +19,15 @@ last ``mpm`` per-step strict-mismatch vectors (leading-dim dynamic
 indexing is untiled and allowed), and per-step outputs are accumulated
 with one-hot selects instead of dynamic stores.
 
-Per block of BM candidate rows:
-
-  pass 1: accumulate whole-read mismatches per candidate -> the
-          CheckMismatches whole-read-fit rule becomes one bit;
-  pass 2: per length step, update the cumulative mismatch count and the
-          rolling strict-window count, pack (level, w, strict, badfit)
-          into one int32 key and take two lane-reductions: the min key
-          (level, representative and flags of the first candidate at the
-          min level) and the min over the rest (runner-up level for the
-          uniqueness rule).
+Per block of BM candidate rows, ONE pass over the tile: per length
+step, update the cumulative mismatch count (gated by qlen so its final
+value is the whole-read count) and the rolling strict-window count, pack
+(level, w, strict) into one int32 key and take two lane-reductions — the
+min key (level, representative and strict flag of the first candidate at
+the min level) and the min over the rest (runner-up level for the
+uniqueness rule).  The CheckMismatches whole-read-fit bit is NOT scanned:
+it sits below the candidate-index bits, so it cannot change which
+candidate wins, and the caller gathers it from the returned final counts.
 """
 from __future__ import annotations
 
@@ -45,8 +44,8 @@ BM = 128          # rows per grid cell (VMEM-bound at w=2048)
 BIG = 2 ** 30
 
 
-def _kernel(tiles_ref, qq_ref, meta_ref, kmin_ref, k2_ref,
-            work_ref, qwork_ref, cum_ref, ws_ref, seed_ref, fit_ref,
+def _kernel(tiles_ref, qq_ref, meta_ref, kmin_ref, k2_ref, cum_out_ref,
+            work_ref, qwork_ref, cum_ref, ws_ref, seed_ref,
             ring_ref,
             *, w: int, lmax: int, mpm: int, shift: int, dead: int,
             lsteps: int):
@@ -54,7 +53,6 @@ def _kernel(tiles_ref, qq_ref, meta_ref, kmin_ref, k2_ref,
     vw = meta_ref[:, 0:1]
     qlen = meta_ref[:, 1:2]
     tsec = meta_ref[:, 2:3]
-    thr = meta_ref[:, 3:4]
     widx = jax.lax.broadcasted_iota(jnp.int32, (bm, w), 1)
     lidx = jax.lax.broadcasted_iota(jnp.int32, (bm, lmax), 1)
     # all compute in int32: v5e vregs have no native i8 compare/rotate
@@ -84,31 +82,24 @@ def _kernel(tiles_ref, qq_ref, meta_ref, kmin_ref, k2_ref,
         work_ref[:] = pltpu.roll(work_ref[:], work_ref.shape[1] - 1, 1)
         qwork_ref[:] = pltpu.roll(qwork_ref[:], lmax - 1, 1)
 
-    # ---- pass 1: whole-read mismatch count -> bad-fit bit
-    cum_ref[:] = jnp.zeros((bm, w), jnp.int32)
-
-    def body1(l, _):
-        mm, _ = current(l)
-        gate = ((l >= 1) & (l < qlen)).astype(jnp.int32)    # [bm,1]
-        cum_ref[:] = cum_ref[:] + mm * gate
-        advance()
-        return 0
-
-    jax.lax.fori_loop(0, lsteps, body1, 0)
-    fit_ref[:] = (cum_ref[:] < thr).astype(jnp.int32)      # badfit bit
-
-    # ---- pass 2: per-length packed-key statistics
-    work_ref[:] = tiles_ref[:].astype(jnp.int32)
-    qwork_ref[:] = qq_ref[:].astype(jnp.int32)
+    # Single pass: per-length packed-key statistics.  The whole-read-fit
+    # bit (CheckMismatches) sits below the candidate-index bits in the
+    # key, so it never affects WHICH candidate wins — it is derived
+    # afterwards from the final cumulative counts (cum_out) by gathering
+    # at the winning candidate on the XLA side, saving a whole second
+    # scan over the tile.
     cum_ref[:] = jnp.zeros((bm, w), jnp.int32)
     ws_ref[:] = jnp.zeros((bm, w), jnp.int32)
     ring_ref[:] = jnp.zeros((mpm, bm, w), jnp.int32)
     kmin_ref[:] = jnp.zeros((bm, lmax), jnp.int32)
     k2_ref[:] = jnp.zeros((bm, lmax), jnp.int32)
 
-    def body2(l, _):
+    def body(l, _):
         mm, strict = current(l)
-        cum_ref[:] = cum_ref[:] + mm * (l > 0).astype(jnp.int32)
+        # gate by qlen so the final cum equals the whole-read count
+        # (steps beyond qlen-1 can never emit, so keys are unaffected)
+        cum_ref[:] = cum_ref[:] + mm * ((l >= 1) & (l < qlen)).astype(
+            jnp.int32)
         # rolling strict window over the last mpm steps via a ring buffer
         slot = l % mpm
         ws_ref[:] = ws_ref[:] + strict - ring_ref[slot]
@@ -118,7 +109,7 @@ def _kernel(tiles_ref, qq_ref, meta_ref, kmin_ref, k2_ref,
         lvl = cum * live + jnp.int32(dead) * (1 - live)
         key = ((lvl << shift)
                | ((ws_ref[:] > 0).astype(jnp.int32) << 1)
-               | (widx << 2) | fit_ref[:])
+               | (widx << 2))
         kmin = jnp.min(key, axis=1, keepdims=True)          # [bm,1]
         k2 = jnp.min(key + (key == kmin).astype(jnp.int32) * jnp.int32(BIG),
                      axis=1, keepdims=True)
@@ -129,16 +120,20 @@ def _kernel(tiles_ref, qq_ref, meta_ref, kmin_ref, k2_ref,
         advance()
         return 0
 
-    jax.lax.fori_loop(0, lsteps, body2, 0)
+    jax.lax.fori_loop(0, lsteps, body, 0)
+    cum_out_ref[:] = cum_ref[:]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("w", "lmax", "mpm", "lsteps",
                                     "interpret"))
-def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
+def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
                      *, w: int, lmax: int, mpm: int, lsteps: int = 0,
                      interpret: bool = False):
-    """[R, T] int8 tiles -> (kmin, k2) [R, lmax] int32 (see engine_fused).
+    """[R, T] int8 tiles -> (kmin, k2, cum_end) (see engine_fused):
+    kmin/k2 [R, lmax] int32 packed keys, cum_end [R, w] int32 whole-read
+    mismatch counts per candidate (for the deferred CheckMismatches fit
+    gather).
 
     Rows are padded to a BM multiple with valid_w = 0 (no seeds, so their
     stats are dead and the caller slices them away).
@@ -161,15 +156,14 @@ def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
         valid_w = jnp.pad(valid_w, (0, pad))
         qlen = jnp.pad(qlen, (0, pad), constant_values=1)
         tsec_minus = jnp.pad(tsec_minus, (0, pad))
-        thr = jnp.pad(thr, (0, pad))
-    meta = jnp.stack([valid_w, qlen, tsec_minus, thr], axis=1)  # [R,4]
-    meta = jnp.pad(meta.astype(jnp.int32), ((0, 0), (0, 124)))  # lane-tile
+    meta = jnp.stack([valid_w, qlen, tsec_minus], axis=1)  # [R,3]
+    meta = jnp.pad(meta.astype(jnp.int32), ((0, 0), (0, 125)))  # lane-tile
 
     grid = (rp // BM,)
     kern = functools.partial(_kernel, w=w, lmax=lmax, mpm=mpm,
                              shift=shift, dead=dead,
                              lsteps=lsteps or lmax)
-    kmin, k2 = pl.pallas_call(
+    kmin, k2, cum_end = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -185,10 +179,13 @@ def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BM, lmax), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rp, lmax), jnp.int32),
             jax.ShapeDtypeStruct((rp, lmax), jnp.int32),
+            jax.ShapeDtypeStruct((rp, w), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((BM, t), jnp.int32),       # rolling tile copy
@@ -196,9 +193,8 @@ def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus, thr,
             pltpu.VMEM((BM, w), jnp.int32),       # cum
             pltpu.VMEM((BM, w), jnp.int32),       # strict-window count
             pltpu.VMEM((BM, w), jnp.int32),       # seeded
-            pltpu.VMEM((BM, w), jnp.int32),       # badfit bit
             pltpu.VMEM((mpm, BM, w), jnp.int32),  # strict history ring
         ],
         interpret=interpret,
     )(tiles, qq, meta)
-    return kmin[:r], k2[:r]
+    return kmin[:r], k2[:r], cum_end[:r]

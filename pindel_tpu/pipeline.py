@@ -565,11 +565,13 @@ class Pipeline:
                     with g_timer.phase("Searching far ends"):
                         self.searcher.search_far_ends(
                             chrom, kept, bd_regions=bd_regions)
+                from pindel_tpu.reads import MINUS as _M, PLUS as _P
                 for r in kept:
-                    if r.up_far:
+                    fa = r.up_far
+                    if fa:
                         g_read_stats.far_mapped += 1
-                        r.far_frag_name = r.up_far[0].chr_name
-                        r.matched_far_d = r.up_far[0].strand
+                        r.far_frag_name = fa.chr_names[fa.chr_id[0]]
+                        r.matched_far_d = _M if fa.strand_minus[0] else _P
                 if self.spool is not None and self.spool.worker:
                     # worker role: ship this window's searched reads to
                     # the coordinator and stop before any reporting

@@ -283,12 +283,13 @@ class Searcher:
                 continue
             r.used = False
             r.unique_read = True
-            r.up_close = clean_unique_points(r.up_close)
-            first = r.up_close[0]
+            cl = r.up_close = clean_unique_points(r.up_close)
+            loc0 = int(cl.loc[0])
+            len0 = int(cl.length[0])
             if r.matched_d == PLUS:
-                r.left_most_pos = first.abs_loc + 1 - first.length_str
+                r.left_most_pos = loc0 + 1 - len0
             else:
-                r.left_most_pos = first.abs_loc + first.length_str - r.read_length
+                r.left_most_pos = loc0 + len0 - len(r.seq)
             if r.sample_name_to_number is None:
                 r.sample_name_to_number = {r.tag: 1}
             kept.append(r)
