@@ -105,6 +105,10 @@ def main(argv=None) -> int:
                          "PosB CI_B records) into <prefix>_ASM; the "
                          "reference parses -z then exits "
                          "(pindel.cpp:1738-1742) — here the mode is live")
+    ap.add_argument("-C", "--IndelCorrection", action="store_true",
+                    help="accepted for CLI parity; the reference's only "
+                         "use of this flag is commented out "
+                         "(pindel.cpp:2006), so it is a no-op there too")
     ap.add_argument("--hosts", type=int, default=1,
                     help="shard windows across N processes (multi-host "
                          "simulation; search scales out, reporting stays "

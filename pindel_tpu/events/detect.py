@@ -1240,14 +1240,34 @@ def search_indels_nt(reads: ReadsArg, ctx: WindowContext,
 
     Reference: searchIndels, search_deletions_nt.cpp:27-166 — only the
     last (longest) close and far anchors are considered, with a
-    length-scaled mismatch ceiling.
-    """
+    length-scaled mismatch ceiling.  The geometry predicates are
+    evaluated vectorized over the ragged last-anchor gathers; survivors
+    get their event fields filled per read."""
     mnmb = settings.min_num_matched_bases
-    cand = _nt_prefilter(
-        reads, settings,
-        extra=lambda ra: ((ra.fa_lenL + ra.cl_lenL < ra.rdlen)
-                          & (ra.fa_lenL + ra.cl_lenL >= mnmb)))
-    for idx, read in cand:
+    if isinstance(reads, CandidateReads) and reads.pairs:
+        ra = reads.ragged
+        pairs = reads.pairs
+        lens = ra.fa_lenL + ra.cl_lenL
+        ceil = (1 + settings.seq_error_rate * lens).astype(np.int64)
+        keep = (~ra.used_mask(pairs)
+                & (ra.fa_mmL + ra.cl_mmL <= ceil)
+                & (lens < ra.rdlen) & (lens >= mnmb)
+                & (ra.fa_dmL == ~ra.minus)
+                & np.where(ra.minus,
+                           ra.cl_locL > ra.fa_locL + 1,
+                           ra.fa_locL > ra.cl_locL + 1))
+        cll = ra.cl_lenL
+        clo = ra.cl_locL
+        fll = ra.fa_lenL
+        flo = ra.fa_locL
+        for k in np.flatnonzero(keep).tolist():
+            idx, read = pairs[k]
+            if read.used:
+                continue
+            _indels_nt_apply(read, idx, ctx, boxes, int(cll[k]),
+                             int(clo[k]), int(fll[k]), int(flo[k]))
+        return
+    for idx, read in _eligible(reads):
         if read.used:
             continue
         close = read.up_close[-1]
@@ -1256,43 +1276,49 @@ def search_indels_nt(reads: ReadsArg, ctx: WindowContext,
                 1 + settings.seq_error_rate
                 * (far.length_str + close.length_str)):
             continue
+        lens = far.length_str + close.length_str
         if read.matched_d == PLUS:
             if far.direction != MINUS:
                 continue
-            if not (far.length_str + close.length_str < read.read_length
-                    and far.length_str + close.length_str
-                    >= settings.min_num_matched_bases
+            if not (lens < read.read_length and lens >= mnmb
                     and far.abs_loc > close.abs_loc + 1):
                 continue
-            read.left = close.abs_loc - close.length_str + 1
-            read.right = far.abs_loc + far.length_str - 1
-            read.bp = close.length_str - 1
-            read.nt_size = (read.read_length - far.length_str
-                            - close.length_str)
-            read.nt_str = revcomp_str(read.seq)[
-                read.bp + 1: read.bp + 1 + read.nt_size]
-            read.indel_size = ((read.right - read.left) + read.nt_size
-                               - (read.read_length - 1))
-            read.bp_left = close.abs_loc - SPACER
-            read.bp_right = far.abs_loc - SPACER
         elif read.matched_d == MINUS:
             if far.direction != PLUS:
                 continue
-            if not (close.length_str + far.length_str < read.read_length
-                    and close.length_str + far.length_str
-                    >= settings.min_num_matched_bases
+            if not (lens < read.read_length and lens >= mnmb
                     and close.abs_loc > far.abs_loc + 1):
                 continue
-            read.left = far.abs_loc - far.length_str + 1
-            read.right = close.abs_loc + close.length_str - 1
-            read.bp = far.length_str - 1
-            read.nt_size = (read.read_length - close.length_str
-                            - far.length_str)
-            read.nt_str = read.seq[read.bp + 1: read.bp + 1 + read.nt_size]
-            read.indel_size = ((read.right - read.left)
-                               - (read.read_length - 1) + read.nt_size)
-            read.bp_left = far.abs_loc - SPACER
-            read.bp_right = close.abs_loc - SPACER
         else:
             continue
-        _place_read(read, idx, ctx, boxes)
+        _indels_nt_apply(read, idx, ctx, boxes, close.length_str,
+                         close.abs_loc, far.length_str, far.abs_loc)
+
+
+def _indels_nt_apply(read: SplitRead, idx: int, ctx: WindowContext,
+                     boxes: List[List[int]], clen: int, cloc: int,
+                     flen: int, floc: int) -> None:
+    """Event fields for one DI hit (search_deletions_nt.cpp:56-160)."""
+    rdlen = len(read.seq)
+    if read.matched_d == PLUS:
+        read.left = cloc - clen + 1
+        read.right = floc + flen - 1
+        read.bp = clen - 1
+        read.nt_size = rdlen - flen - clen
+        read.nt_str = revcomp_str(read.seq)[
+            read.bp + 1: read.bp + 1 + read.nt_size]
+        read.indel_size = ((read.right - read.left) + read.nt_size
+                           - (rdlen - 1))
+        read.bp_left = cloc - SPACER
+        read.bp_right = floc - SPACER
+    else:
+        read.left = floc - flen + 1
+        read.right = cloc + clen - 1
+        read.bp = flen - 1
+        read.nt_size = rdlen - clen - flen
+        read.nt_str = read.seq[read.bp + 1: read.bp + 1 + read.nt_size]
+        read.indel_size = ((read.right - read.left)
+                           - (rdlen - 1) + read.nt_size)
+        read.bp_left = floc - SPACER
+        read.bp_right = cloc - SPACER
+    _place_read(read, idx, ctx, boxes)
