@@ -616,44 +616,63 @@ class Pipeline:
 
         cand = CandidateReads(reads)
         d_boxes = boxes()
-        SearchDeletions().search(cand, ctx(), d_boxes)
-        sort_output_d(reads, d_boxes, chr_seq, self._out("D"), self.state)
+        with g_timer.phase("svs: detect D"):
+            SearchDeletions().search(cand, ctx(), d_boxes)
+        with g_timer.phase("svs: report D"):
+            sort_output_d(reads, d_boxes, chr_seq, self._out("D"),
+                          self.state)
 
         di_boxes = boxes()
-        search_indels_nt(cand, ctx(), di_boxes, s)
-        sort_output_di(reads, di_boxes, chr_seq, self._out("D"),
-                       self._out("INV"), self.state)
+        with g_timer.phase("svs: detect DI"):
+            search_indels_nt(cand, ctx(), di_boxes, s)
+        with g_timer.phase("svs: report DI"):
+            sort_output_di(reads, di_boxes, chr_seq, self._out("D"),
+                           self._out("INV"), self.state)
 
         if s.analyze_td:
             td_boxes = boxes()
-            search_tandem_duplications(cand, ctx(), td_boxes)
-            sort_and_output_tandem_duplications(
-                reads, td_boxes, chr_seq, self._out("TD"), self.state, False)
+            with g_timer.phase("svs: detect TD"):
+                search_tandem_duplications(cand, ctx(), td_boxes)
+            with g_timer.phase("svs: report TD"):
+                sort_and_output_tandem_duplications(
+                    reads, td_boxes, chr_seq, self._out("TD"), self.state,
+                    False)
             td_nt_boxes = boxes()
-            search_tandem_duplications_nt(cand, ctx(), td_nt_boxes, s)
-            sort_and_output_tandem_duplications(
-                reads, td_nt_boxes, chr_seq, self._out("TD"), self.state,
-                True)
+            with g_timer.phase("svs: detect TD_NT"):
+                search_tandem_duplications_nt(cand, ctx(), td_nt_boxes, s)
+            with g_timer.phase("svs: report TD"):
+                sort_and_output_tandem_duplications(
+                    reads, td_nt_boxes, chr_seq, self._out("TD"),
+                    self.state, True)
 
         if s.analyze_inv:
             inv_boxes = boxes()
-            search_inversions(cand, ctx(), inv_boxes, s)
-            do_sort_and_output_inversions(
-                reads, inv_boxes, chr_seq, self._out("INV"), self.state,
-                False)
+            with g_timer.phase("svs: detect INV"):
+                search_inversions(cand, ctx(), inv_boxes, s)
+            with g_timer.phase("svs: report INV"):
+                do_sort_and_output_inversions(
+                    reads, inv_boxes, chr_seq, self._out("INV"), self.state,
+                    False)
             inv_nt_boxes = boxes()
-            search_inversions_nt(cand, ctx(), inv_nt_boxes, s)
-            do_sort_and_output_inversions(
-                reads, inv_nt_boxes, chr_seq, self._out("INV"), self.state,
-                True)
+            with g_timer.phase("svs: detect INV_NT"):
+                search_inversions_nt(cand, ctx(), inv_nt_boxes, s)
+            with g_timer.phase("svs: report INV"):
+                do_sort_and_output_inversions(
+                    reads, inv_nt_boxes, chr_seq, self._out("INV"),
+                    self.state, True)
 
         si_boxes = boxes()
-        SearchShortInsertions().search(cand, ctx(), si_boxes)
-        sort_output_si(reads, si_boxes, chr_seq, self._out("SI"), self.state)
+        with g_timer.phase("svs: detect SI"):
+            SearchShortInsertions().search(cand, ctx(), si_boxes)
+        with g_timer.phase("svs: report SI"):
+            sort_output_si(reads, si_boxes, chr_seq, self._out("SI"),
+                           self.state)
 
         if s.analyze_li:
-            sort_output_li(reads, chr_seq, window.current_start,
-                           window.current_end, self._out("LI"), self.state)
+            with g_timer.phase("svs: LI"):
+                sort_output_li(reads, chr_seq, window.current_start,
+                               window.current_end, self._out("LI"),
+                               self.state)
         # the reference never calls its BP detector (pindel.cpp:1171-1173
         # commented out): -k leaves _BP empty; force_bp_output resurrects it
         if s.force_bp_output:
