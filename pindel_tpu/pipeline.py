@@ -726,6 +726,9 @@ def run_files(reference_fa: str, pindel_file: Optional[str],
     s.bam_config_filename = bam_config or ""
     s.pindel_config_filename = pindel_config or ""
     s.output_prefix = output_prefix
+    # per-run reset so repeated runs in one process (bench warm runs)
+    # report per-run costs instead of cross-run accumulation
+    g_timer.reset()
     if s.log_filename:                    # -L (pindel.cpp:839-842)
         g_log.redirect(s.log_filename)
     genome = Genome.from_fasta(reference_fa)

@@ -63,7 +63,12 @@ class Timer:
         ``--profile`` prints everything."""
         total = sum(self._acc.values())
         wall = time.monotonic() - self._t0
-        lines = ["Timer report (wall %.3fs, accounted %.3fs):" % (wall, total)]
+        head = "Timer report (wall %.3fs, accounted %.3fs):" % (wall, total)
+        if total > wall:
+            # software pipelining overlaps device phases with host phases,
+            # so phase times can double-count wall time
+            head += "  [phases overlap under pipelining]"
+        lines = [head]
         for name in self._order:
             if coarse_only and ":" in name:
                 continue
