@@ -12,6 +12,21 @@ from pindel_tpu.config import Settings
 from pindel_tpu.pipeline import run_files
 
 
+def _unary(value: str) -> bool:
+    """Reference unary-flag value parsing (readParameters,
+    fn_parameters.cpp:379-389): an optional following token sets the flag
+    false iff its first character is 'f'/'F'/'0', true otherwise."""
+    return not (value and (value[0].lower() == "f" or value[0] == "0"))
+
+
+def _bool_flag(ap, *names, default: bool = False, dest=None, help=None):
+    """A reference-style unary flag: bare sets true, an optional value
+    token is parsed with ``_unary`` (so ``-r false`` disables a
+    default-true flag, matching fn_parameters.cpp semantics)."""
+    ap.add_argument(*names, nargs="?", const=True, default=default,
+                    type=_unary, dest=dest, help=help, metavar="[T/F]")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="pindel_tpu",
@@ -45,36 +60,32 @@ def main(argv=None) -> int:
     ap.add_argument("-d", "--min_num_matched_bases", type=int, default=30)
     ap.add_argument("-B", "--balance_cutoff", type=int, default=100)
     ap.add_argument("-M", "--minimum_support_for_event", type=int, default=1)
-    ap.add_argument("-s", "--report_close_mapped_reads", action="store_true")
-    ap.add_argument("-S", "--report_only_close_mapped_reads",
-                    action="store_true")
-    ap.add_argument("-l", "--report_long_insertions", action="store_true")
-    ap.add_argument("-k", "--report_breakpoints", action="store_true")
+    _bool_flag(ap, "-s", "--report_close_mapped_reads")
+    _bool_flag(ap, "-S", "--report_only_close_mapped_reads")
+    _bool_flag(ap, "-l", "--report_long_insertions")
+    _bool_flag(ap, "-k", "--report_breakpoints")
     ap.add_argument("--force_bp_output", action="store_true",
                     help="resurrect the BP detector the reference disabled")
-    ap.add_argument("-r", "--report_inversions", action="store_true",
-                    default=True)
-    ap.add_argument("-t", "--report_duplications", action="store_true",
-                    default=True)
+    _bool_flag(ap, "-r", "--report_inversions", default=True)
+    _bool_flag(ap, "-t", "--report_duplications", default=True)
     ap.add_argument("-v", "--min_inversion_size", type=int, default=50)
     ap.add_argument("-b", "--breakdancer", default="",
                     help="BreakDancer calls file to guide far-end search")
     ap.add_argument("-Q", "--output_of_breakdancer_events", default="",
                     help="file for SVs confirmed by BreakDancer calls")
-    ap.add_argument("-R", "--RP", dest="search_discordant", default=True,
-                    action="store_true",
-                    help="search for discordant read pairs (BAM input)")
-    ap.add_argument("-I", "--report_interchromosomal_events",
-                    action="store_true")
-    ap.add_argument("-q", "--detect_DD", action="store_true",
-                    help="detect dispersed duplications and exit "
-                         "(reference pindel.cpp:1744-1746)")
+    _bool_flag(ap, "-R", "--RP", dest="search_discordant", default=True,
+               help="search for discordant read pairs (BAM input); "
+                    "-R false disables")
+    _bool_flag(ap, "-I", "--report_interchromosomal_events")
+    _bool_flag(ap, "-q", "--detect_DD",
+               help="detect dispersed duplications and exit "
+                    "(reference pindel.cpp:1744-1746)")
     ap.add_argument("--MAX_DD_BREAKPOINT_DISTANCE", type=int, default=350)
     ap.add_argument("--MAX_DISTANCE_CLUSTER_READS", type=int, default=100)
     ap.add_argument("--MIN_DD_CLUSTER_SIZE", type=int, default=3)
     ap.add_argument("--MIN_DD_BREAKPOINT_SUPPORT", type=int, default=3)
     ap.add_argument("--MIN_DD_MAP_DISTANCE", type=int, default=8000)
-    ap.add_argument("--DD_REPORT_DUPLICATION_READS", action="store_true")
+    _bool_flag(ap, "--DD_REPORT_DUPLICATION_READS")
     ap.add_argument("-A", "--anchor_quality", type=int, default=0)
     ap.add_argument("-T", "--number_of_threads", type=int, default=1,
                     help="host-side worker threads (reference OpenMP -T)")
@@ -96,19 +107,18 @@ def main(argv=None) -> int:
                          "disabled (pindel.cpp:1733-1736); here it runs.")
     ap.add_argument("-Y", "--Ploidy", dest="ploidy", default=None,
                     help="per-chromosome ploidy file (ChrName Ploidy)")
-    ap.add_argument("-N", "--NormalSamples", dest="normal_samples",
-                    action="store_true",
-                    help="germline read-depth filtering of calls")
+    _bool_flag(ap, "-N", "--NormalSamples", dest="normal_samples",
+               help="germline read-depth filtering of calls")
     ap.add_argument("-z", "--assembly", default="",
                     help="assembly mode: assemble breakpoints for the SV "
                          "list in this file (Type ChrA PosA CI_A ChrB "
                          "PosB CI_B records) into <prefix>_ASM; the "
                          "reference parses -z then exits "
                          "(pindel.cpp:1738-1742) — here the mode is live")
-    ap.add_argument("-C", "--IndelCorrection", action="store_true",
-                    help="accepted for CLI parity; the reference's only "
-                         "use of this flag is commented out "
-                         "(pindel.cpp:2006), so it is a no-op there too")
+    _bool_flag(ap, "-C", "--IndelCorrection",
+               help="accepted for CLI parity; the reference's only "
+                    "use of this flag is commented out "
+                    "(pindel.cpp:2006), so it is a no-op there too")
     ap.add_argument("--hosts", type=int, default=1,
                     help="shard windows across N processes (multi-host "
                          "simulation; search scales out, reporting stays "

@@ -65,16 +65,27 @@ class Genome:
             import gzip
             opener = gzip.open  # type: ignore[assignment]
         with opener(path, "rt") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
+            data = fh.read()
+        if data.startswith(">"):
+            # batch path: records split at line-initial '>' only, so a
+            # '>' inside a header description cannot split a record
+            for block in data[1:].split("\n>"):
+                nl = block.find("\n")
+                if nl < 0:
                     continue
-                if line.startswith(">"):
-                    flush()
-                    name = line[1:].split()[0]
-                else:
-                    chunks.append(line)
-            flush()
+                name = block[:nl].split()[0]
+                g.add(name, block[nl:].replace("\n", "").replace("\r", ""))
+            return g
+        for line in data.split("\n"):
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                flush()
+                name = line[1:].split()[0]
+            else:
+                chunks.append(line)
+        flush()
         return g
 
     def add(self, name: str, sequence: str) -> Chromosome:

@@ -9,12 +9,13 @@ whole per-window search into two launches:
 * reads are uploaded ONCE per chunk (int8 base codes + scalar metadata);
   all query orientations (reverse, complement, reverse-complement) are
   derived on device;
-* ``_close_kernel`` evaluates all four close-end attempts of the reference
-  schedule (GetCloseEnd, pindel.cpp:2531-2576: (range0, seq), (range0, RC),
-  (range1, RC), (range1, seq)) as four *lane groups* with per-group
-  emission statistics, and picks the first group that emits — bit-equal to
-  running the attempts sequentially because the attempts are independent
-  given the read;
+* ``_close_range_kernel`` evaluates both attempts of one close-end range
+  of the reference schedule (GetCloseEnd, pindel.cpp:2531-2576: (range0,
+  seq), (range0, RC), then (range1, RC), (range1, seq)) as two *lane
+  groups* with per-group emission statistics, picking the first group
+  that emits — bit-equal to running the attempts sequentially because
+  the attempts are independent given the read.  Range 1 (a 3x-wider
+  window) is launched only for the compacted set of range-0 failures;
 * ``_far_kernel`` evaluates all geometric far-end escalation rounds
   (SearchFarEnd, pindel.cpp:1001-1074: span 64*4^k) in one launch, with
   the NewUPFarIsBetter replacement rule (farend_searcher.cpp:30-44)
@@ -56,6 +57,17 @@ I16DEAD = 1000   # > max possible cum (lmax <= 512); keeps key in int32
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _copy_to_host_async(dev) -> None:
+    """Start device->host transfers as soon as the kernel output is ready
+    (the tunnel's per-get latency is ~40 ms; starting the copy at
+    dispatch time hides it behind the remaining device work)."""
+    try:
+        for a in dev:
+            a.copy_to_host_async()
+    except Exception:
+        pass                      # CPU arrays / older jax: get() still works
 
 
 def _b_bucket(b: int, buckets=(256, 2048, 8192)) -> int:
@@ -317,24 +329,34 @@ def _reverse_within(codes, qlen, lmax: int):
 
 
 # ------------------------------------------------------------ close kernel
-def _close_kernel(chrom, codes, qlen, matched_minus, win0, win1,
-                  max_snp, tsec_minus, maxmm, thr,
-                  *, w0: int, w1: int, lmax: int, mpm: int, bp_start: int,
-                  lsteps: int = 0):
-    """All four close-end attempts in one launch.
+def _close_range_kernel(chrom, codes, qlen, matched_minus, win,
+                        max_snp, tsec_minus, maxmm, thr,
+                        *, w: int, lmax: int, mpm: int, bp_start: int,
+                        range1: bool, lsteps: int = 0):
+    """Both attempts of ONE close-end range in one launch.
 
     Attempt schedule (GetCloseEnd, pindel.cpp:2531-2576): (range0, seq),
-    (range0, RC), (range1, RC), (range1, seq).  Per the lane construction
-    (close_end_lane in search.py, GetCloseEndInner pindel.cpp:2271-2316):
-    a '+'-anchored read searches a *forward* tile with the reverse
-    complement of the current sequence; a '-' read a *backward* tile with
-    the current sequence (which the tile convention reverses).  Expressed
-    in the uploaded original codes f, the device-oriented queries are:
+    (range0, RC), then — only for reads with no unique point after
+    range 0 — (range1, RC), (range1, seq).  Splitting the ranges into two
+    launches lets the driver dispatch range 1 on the compacted failure
+    set only: the range-1 window is 3x the insert size, so skipping it
+    for range-0 successes removes most of that scan.
+
+    Per the lane construction (close_end_lane in search.py,
+    GetCloseEndInner pindel.cpp:2271-2316): a '+'-anchored read searches
+    a *forward* tile with the reverse complement of the current sequence;
+    a '-' read a *backward* tile with the current sequence (which the
+    tile convention reverses).  Expressed in the uploaded original codes
+    f, the device-oriented queries are:
 
         '+' read, attempts 0..3: qq = [RC(f), f,    f,    RC(f)]
         '-' read, attempts 0..3: qq = [R(f),  C(f), C(f), R(f)]
 
-    where R = reverse-within-qlen and C = base complement.
+    where R = reverse-within-qlen and C = base complement.  range 0 tries
+    (orig, RC); range 1 continues the flip state: (RC, orig).
+
+    Returns (emit bits, rep, winner 0|1|255, uniform) with winner the
+    group index WITHIN this range.
     """
     f = codes
     cf = _complement(f)
@@ -343,33 +365,23 @@ def _close_kernel(chrom, codes, qlen, matched_minus, win0, win1,
     mm_col = matched_minus[:, None]
     q_orig = jnp.where(mm_col, rf, rcf)   # attempt with original sequence
     q_flip = jnp.where(mm_col, cf, f)     # attempt with RC'd sequence
+    qa, qb = (q_flip, q_orig) if range1 else (q_orig, q_flip)
 
-    outs = []
-    # range 0 tries (orig, RC); range 1 continues the flip state: (RC, orig)
-    for (wb, win, qa, qb) in ((w0, win0, q_orig, q_flip),
-                              (w1, win1, q_flip, q_orig)):
-        start = win[:, 0]
-        end = win[:, 1]
-        ss = jnp.where(matched_minus, end - (wb + lmax), start)
-        valid = jnp.clip(end - start, 0, wb)
-        qq = jnp.stack([qa, qb], axis=1)                         # [B,2,L]
-        slice_start = jnp.stack([ss, ss], axis=1)
-        reverse = jnp.stack([matched_minus, matched_minus], axis=1)
-        valid_w = jnp.stack([valid, valid], axis=1)
-        stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
-                            qlen, max_snp, tsec_minus, thr,
-                            w=wb, lmax=lmax, g=2, nlg=1, mpm=mpm,
-                            lsteps=lsteps)
-        outs.append(_emit_rules(*stats, reverse, qlen, max_snp,
-                                tsec_minus, maxmm,
-                                w=wb, lmax=lmax, g=2, nlg=1,
-                                mpm=mpm, bp_start=bp_start))
-
-    # group order across the two scans = attempt order 0..3
-    emit = jnp.concatenate([outs[0][0], outs[1][0]], axis=1)      # [B,4,L]
-    rep_last = jnp.concatenate([outs[0][1], outs[1][1]], axis=1)
-    uniform = jnp.concatenate([outs[0][2], outs[1][2]], axis=1)
-    any_emit = jnp.concatenate([outs[0][3], outs[1][3]], axis=1)
+    start = win[:, 0]
+    end = win[:, 1]
+    ss = jnp.where(matched_minus, end - (w + lmax), start)
+    valid = jnp.clip(end - start, 0, w)
+    qq = jnp.stack([qa, qb], axis=1)                             # [B,2,L]
+    slice_start = jnp.stack([ss, ss], axis=1)
+    reverse = jnp.stack([matched_minus, matched_minus], axis=1)
+    valid_w = jnp.stack([valid, valid], axis=1)
+    stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
+                        qlen, max_snp, tsec_minus, thr,
+                        w=w, lmax=lmax, g=2, nlg=1, mpm=mpm,
+                        lsteps=lsteps)
+    emit, rep_last, uniform, any_emit, _last = _emit_rules(
+        *stats, reverse, qlen, max_snp, tsec_minus, maxmm,
+        w=w, lmax=lmax, g=2, nlg=1, mpm=mpm, bp_start=bp_start)
 
     winner = jnp.argmax(any_emit, axis=1).astype(jnp.int32)       # first hit
     has = jnp.any(any_emit, axis=1)
@@ -446,7 +458,7 @@ def _far_kernel(chrom, codes, qlen, close_max, init_max,
 
 
 _close_kernel_jit = partial(jax.jit, static_argnames=(
-    "w0", "w1", "lmax", "mpm", "bp_start", "lsteps"))(_close_kernel)
+    "w", "lmax", "mpm", "bp_start", "range1", "lsteps"))(_close_range_kernel)
 _far_kernel_jit = partial(jax.jit, static_argnames=(
     "ws", "lmax", "mpm", "bp_start", "lsteps"))(_far_kernel)
 
@@ -546,6 +558,10 @@ class FusedJaxBackend:
     """
 
     B_BUCKETS = (256, 2048, 8192)
+    # finer ladder for the compacted range-1 relaunch: its row count is
+    # data-dependent (the range-0 failure fraction), so power-of-two-only
+    # buckets would waste up to half the second (3x-wider) scan
+    B1_BUCKETS = (256, 1024, 2048, 3072, 4096, 6144, 8192)
 
     def __init__(self, settings, maxmm: np.ndarray, chrom_codes: np.ndarray,
                  chrom_name: str = None):
@@ -567,6 +583,21 @@ class FusedJaxBackend:
         self._legacy.chrom_dev = self.chrom_dev
         self._legacy.chrom_name = chrom_name
         self._legacy.w_buckets = (512, 2048, 8192, 32768)
+        self._pool = None
+        self._pool_tried = False
+
+    def _decode_pool(self):
+        """Worker pool for host-side chain decode (gated on -T>1): the
+        decode of one chunk overlaps the device wait of the next.  The
+        writes are to disjoint result slots, and the future is joined
+        before the chunk's results are consumed."""
+        if not self._pool_tried:
+            self._pool_tried = True
+            from pindel_tpu.events.detect import get_num_threads
+            if get_num_threads() > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(max_workers=1)
+        return self._pool
 
     # legacy per-lane API (BreakDancer windows, odd shapes)
     def run(self, batch_lanes, bp_start, max_snps, tsec_minus):
@@ -652,8 +683,11 @@ class FusedJaxBackend:
         return plan
 
     def close_ends_dispatch(self, reads, bp_start: int):
-        """Async half of close_ends: uploads and launches every chunk,
-        returns a token for ``close_ends_decode``."""
+        """Async half of close_ends: uploads and launches every chunk's
+        RANGE-0 kernel, returns a token for ``close_ends_decode``.  The
+        range-1 kernels are dispatched later, per chunk, on the compacted
+        set of reads with no range-0 unique point (GetCloseEnd's loop
+        order, pindel.cpp:2537-2576)."""
         n = len(reads)
         results: List[Tuple[Optional[ChainDecode], int, bool]] = \
             [(None, -1, False)] * n
@@ -665,9 +699,13 @@ class FusedJaxBackend:
 
     def close_ends_decode(self, reads, token):
         results, pending = token
+        # stage 1: as each range-0 chunk lands, dispatch its compacted
+        # range-1 kernel, then decode the range-0 winners (host decode
+        # overlaps the remaining device work)
         for st in pending:
-            if st["dev"] is not None:
-                self._close_decode(st, results)
+            self._close_r0_finish(st, results)
+        for st in pending:
+            self._close_r1_finish(st, results)
         return results
 
     def close_ends_decode_stream(self, reads, token):
@@ -676,8 +714,9 @@ class FusedJaxBackend:
         chunks while later close chunks still execute."""
         results, pending = token
         for st in pending:
-            if st["dev"] is not None:
-                self._close_decode(st, results)
+            self._close_r0_finish(st, results)
+        for st in pending:
+            self._close_r1_finish(st, results)
             yield st["base"], st["base"] + st["nb"], results
 
     def _close_dispatch(self, reads, base: int, results, bp_start: int):
@@ -709,80 +748,191 @@ class FusedJaxBackend:
             win[k, :, 1] = np.where(minus, minus_end, plus_end)
         w0 = self._w_bucket(max(int((win[0, :, 1] - win[0, :, 0]).max()), 1))
         w1 = self._w_bucket(max(int((win[1, :, 1] - win[1, :, 0]).max()), 1))
-        if w1 + lmax > SPACER:
-            # huge mate-pair insert sizes (~>21.8kb) make the range-1
-            # window bucket outgrow the spacer padding the tile gather
-            # relies on; route the whole chunk through the exact-semantics
-            # fallback instead (ADVICE r2, mirrors the non-uniform-chain
-            # fallback path)
+        st = dict(dev=None, dev1=None, base=base, nb=nb, b=b, qlen=qlen,
+                  codes=codes, minus=minus, win=win, w0=w0, w1=w1,
+                  lmax=lmax, bp_start=bp_start,
+                  ms=ms, tm=tm, thr=thr,
+                  lsteps=_round_up(int(qlen[:nb].max()), 16))
+        if w0 + lmax > SPACER:
+            # huge mate-pair insert sizes make even the range-0 window
+            # bucket outgrow the spacer padding the tile gather relies
+            # on; route the whole chunk through the exact-semantics
+            # fallback instead (ADVICE r2)
             for i in range(nb):
                 results[base + i] = (None, -1, True)
-            return dict(dev=None, base=base, nb=nb)
-        win32 = win.astype(np.int32)
-
+            return st
         t1 = time.monotonic()
         g_timer.add("fused: pack close", t1 - t0)
-        dev = self._close_call(
+        st["dev"] = self._close_call(
             self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
-            jnp.asarray(minus), jnp.asarray(win32[0]),
-            jnp.asarray(win32[1]), jnp.asarray(ms), jnp.asarray(tm),
+            jnp.asarray(minus), jnp.asarray(win.astype(np.int32)[0]),
+            jnp.asarray(ms), jnp.asarray(tm),
             self.maxmm_dev, jnp.asarray(thr),
-            w0=w0, w1=w1, lmax=lmax, mpm=self.mpm, bp_start=bp_start,
-            lsteps=_round_up(int(qlen[:nb].max()), 16))
+            w=w0, lmax=lmax, mpm=self.mpm, bp_start=bp_start,
+            range1=False, lsteps=st["lsteps"])
+        _copy_to_host_async(st["dev"])
         g_timer.add("fused: dispatch close", time.monotonic() - t1)
-        return dict(dev=dev, base=base, nb=nb, b=b, qlen=qlen, codes=codes,
-                    minus=minus, win=win, w0=w0, w1=w1, lmax=lmax)
+        return st
 
-    def _close_decode(self, st, results):
+    def _close_r0_finish(self, st, results):
+        """Wait for a chunk's range-0 kernel, dispatch the compacted
+        range-1 kernel for its failures, then decode range-0 winners."""
+        from pindel_tpu.genome import SPACER
         from pindel_tpu.profiling import g_timer
+        if st["dev"] is None:
+            return
         base, nb = st["base"], st["nb"]
-        qlen, codes, minus = st["qlen"], st["codes"], st["minus"]
-        win, w0, w1, lmax = st["win"], st["w0"], st["w1"], st["lmax"]
         t1 = time.monotonic()
         emit_bits, rep_w, winner, uniform = jax.device_get(st["dev"])
+        st["dev"] = None
         t2 = time.monotonic()
-        g_timer.add(f"fused: close wait w={w0}/{w1} b={st['b']}", t2 - t1)
-
-        emit_bits = emit_bits[:nb]
-        rep_w = np.asarray(rep_w[:nb], np.int64)
+        g_timer.add(f"fused: close wait w={st['w0']} b={st['b']}", t2 - t1)
         winner = np.asarray(winner[:nb], np.int64)
-        uniform = np.asarray(uniform[:nb])
-        has = winner != 255
+        fail = np.flatnonzero(winner == 255)
 
-        att_range = np.where(has, winner // 2, 0)        # attempt -> range
-        wbuck = np.where(att_range == 0, w0, w1).astype(np.int64)
-        start = win[att_range, np.arange(nb), 0]
-        end = win[att_range, np.arange(nb), 1]
+        # dispatch range 1 for the failure set before decoding winners
+        if fail.size:
+            if st["w1"] + st["lmax"] > SPACER:
+                # range-1 bucket outgrows the spacer padding: exact-
+                # semantics fallback for the failures (reruns the whole
+                # schedule from the original read on host)
+                for i in fail.tolist():
+                    results[base + i] = (None, -1, True)
+            else:
+                st["fail"] = fail
+                b1 = _b_bucket(int(fail.size), self.B1_BUCKETS)
+                pad = b1 - fail.size
+                sel = np.concatenate([fail, np.zeros(pad, np.int64)]) \
+                    if pad else fail
+                qlen1 = st["qlen"][sel]
+                codes1 = st["codes"][sel]
+                minus1 = st["minus"][sel]
+                win1 = st["win"][1][sel]
+                ms1, tm1, thr1 = st["ms"][sel], st["tm"][sel], st["thr"][sel]
+                if pad:                       # padding rows: never active
+                    qlen1[fail.size:] = 1
+                    ms1[fail.size:] = 0
+                    tm1[fail.size:] = 0
+                t3 = time.monotonic()
+                st["dev1"] = self._close_call(
+                    self.chrom_dev, jnp.asarray(codes1),
+                    jnp.asarray(qlen1), jnp.asarray(minus1),
+                    jnp.asarray(win1.astype(np.int32)),
+                    jnp.asarray(ms1), jnp.asarray(tm1),
+                    self.maxmm_dev, jnp.asarray(thr1),
+                    w=st["w1"], lmax=st["lmax"], mpm=self.mpm,
+                    bp_start=st["bp_start"], range1=True,
+                    lsteps=st["lsteps"])
+                _copy_to_host_async(st["dev1"])
+                st["b1"] = b1
+                st["qlen1"] = qlen1
+                st["codes1"] = codes1
+                st["minus1"] = minus1
+                st["win1"] = win1
+                g_timer.add("fused: dispatch close", time.monotonic() - t3)
+
+        ok = np.flatnonzero(winner != 255)
+        if ok.size:
+            def _decode_r0():
+                t3 = time.monotonic()
+                self._decode_close_rows(
+                    st, results, ok, emit_bits[ok],
+                    np.asarray(rep_w, np.int64)[ok], winner[ok],
+                    np.asarray(uniform)[ok],
+                    st["qlen"], st["codes"], st["minus"], st["win"][0],
+                    st["w0"], flip=(winner[ok] == 1), att_base=0)
+                g_timer.add("fused: decode close", time.monotonic() - t3)
+
+            pool = self._decode_pool()
+            if pool is not None:
+                # overlap the chain decode with the next chunk's device
+                # wait; joined in _close_r1_finish before results are read
+                st["fut0"] = pool.submit(_decode_r0)
+            else:
+                _decode_r0()
+
+    def _close_r1_finish(self, st, results):
+        """Wait for a chunk's range-1 kernel (if any) and decode it."""
+        from pindel_tpu.profiling import g_timer
+        fut = st.pop("fut0", None)
+        if fut is not None:
+            fut.result()
+        if st.get("dev1") is None:
+            return
+        base = st["base"]
+        fail = st["fail"]
+        nf = fail.size
+        t1 = time.monotonic()
+        emit_bits, rep_w, winner, uniform = jax.device_get(st["dev1"])
+        st["dev1"] = None
+        t2 = time.monotonic()
+        g_timer.add(f"fused: close wait w={st['w1']} b={st['b1']}", t2 - t1)
+        winner = np.asarray(winner[:nf], np.int64)
+        ok = np.flatnonzero(winner != 255)
+        if ok.size:
+            # row k of the range-1 launch is read fail[k] of the chunk
+            self._decode_close_rows(
+                st, results, fail[ok], emit_bits[:nf][ok],
+                np.asarray(rep_w[:nf], np.int64)[ok], winner[ok] + 2,
+                np.asarray(uniform[:nf])[ok],
+                st["qlen1"], st["codes1"], st["minus1"], st["win1"],
+                st["w1"], flip=(winner[ok] == 0), att_base=2,
+                rows=ok)
+        g_timer.add("fused: decode close", time.monotonic() - t2)
+
+    def _decode_close_rows(self, st, results, idx, emit_bits, rep_w,
+                           winner, uniform, qlen_a, codes_a, minus_a,
+                           win_a, wbuck: int, *, flip, att_base: int,
+                           rows=None):
+        """Decode the winning attempts of a set of rows into results.
+
+        ``idx``: chunk-relative read indices these rows map to;
+        ``rows``: indices into the launch arrays (defaults to ``idx``,
+        which is correct for the range-0 launch over the whole chunk);
+        ``flip``: per-row 'query was the RC-flipped sequence' flags
+        (attempts 1 and 2 of the schedule); ``winner`` is already in
+        global attempt space (0..3).
+        """
+        base, lmax = st["base"], st["lmax"]
+        if rows is None:
+            rows = idx
+        n = idx.size
+        qlen = qlen_a[rows]
+        codes = codes_a[rows]
+        minus = minus_a[rows]
+        start = win_a[rows, 0]
+        end = win_a[rows, 1]
         tlen = wbuck + lmax
-        ss = np.where(minus[:nb], end - tlen, start)
+        ss = np.where(minus, end - tlen, start)
         # device-oriented query of the winning attempt, vectorized:
-        # '-' reads use R(f) / C(f); '+' reads RC(f) / f (see _close_kernel)
-        flip_att = (winner == 1) | (winner == 2)
-        cf = dna.RC[codes[:nb]]
+        # '-' reads use R(f) / C(f); '+' reads RC(f) / f
+        # (see _close_range_kernel)
+        cf = dna.RC[codes]
         li = np.arange(lmax)
-        ridx = np.where(li < qlen[:nb, None],
-                        np.maximum(qlen[:nb, None] - 1 - li, 0), li)
-        rf = np.where(li < qlen[:nb, None],
-                      np.take_along_axis(codes[:nb], ridx, axis=1), dna.N)
-        rcf = np.where(li < qlen[:nb, None],
+        ridx = np.where(li < qlen[:, None],
+                        np.maximum(qlen[:, None] - 1 - li, 0), li)
+        rf = np.where(li < qlen[:, None],
+                      np.take_along_axis(codes, ridx, axis=1), dna.N)
+        rcf = np.where(li < qlen[:, None],
                        np.take_along_axis(cf, ridx, axis=1), dna.N)
-        mcol = minus[:nb, None]
-        fcol = flip_att[:, None]
+        mcol = minus[:, None]
+        fcol = np.asarray(flip)[:, None]
         q_dev = np.where(mcol, np.where(fcol, cf, rf),
-                         np.where(fcol, codes[:nb], rcf)).astype(np.int8)
+                         np.where(fcol, codes, rcf)).astype(np.int8)
         chains = decode_chains(self.chrom_codes, emit_bits, rep_w, ss,
-                               minus[:nb], q_dev, qlen[:nb], wbuck, lmax)
+                               minus, q_dev, qlen,
+                               np.full(n, wbuck, np.int64), lmax)
         winl = winner.tolist()
         unil = uniform.tolist()
-        for i in range(nb):
-            ch = chains[i]
+        idxl = idx.tolist()
+        for k in range(n):
+            ch = chains[k]
             if ch is None:
                 continue
-            if not unil[i]:
-                results[base + i] = (None, winl[i], True)
+            if not unil[k]:
+                results[base + idxl[k]] = (None, winl[k], True)
                 continue
-            results[base + i] = (ch, winl[i], False)
-        g_timer.add("fused: decode close", time.monotonic() - t2)
+            results[base + idxl[k]] = (ch, winl[k], False)
 
     # --------------------------------------------------------------- far
     def far_ends(self, reads, spans: Sequence[int], comp_size: int,
@@ -857,6 +1007,7 @@ class FusedJaxBackend:
             jnp.asarray(tm), self.maxmm_dev, jnp.asarray(thr),
             ws=tuple(ws), lmax=lmax, mpm=self.mpm, bp_start=bp_start,
             lsteps=_round_up(int(qlen[:nb].max()), 16))
+        _copy_to_host_async(dev)
         g_timer.add("fused: dispatch far", time.monotonic() - t1)
         return dict(dev=dev, base=base, nb=nb, b=b, qlen=qlen, codes=codes,
                     wins=wins, ws=ws, lmax=lmax)

@@ -61,7 +61,8 @@ class MeshFusedBackend(ef.FusedJaxBackend):
                          chrom_name=chrom_name)
         self.mesh = mesh
         self.dp = mesh.shape["dp"]
-        assert all(b % self.dp == 0 for b in self.B_BUCKETS), (
+        assert all(b % self.dp == 0
+                   for b in self.B_BUCKETS + self.B1_BUCKETS), (
             "batch buckets must divide the dp axis")
         self._close_cache = {}
         self._far_cache = {}
@@ -72,11 +73,11 @@ class MeshFusedBackend(ef.FusedJaxBackend):
         key = tuple(sorted(static.items()))
         fn = self._close_cache.get(key)
         if fn is None:
-            body = partial(ef._close_kernel, **static)
+            body = partial(ef._close_range_kernel, **static)
             rep = P()          # chrom, maxmm: replicated
             dp = P("dp")
             fn = jax.jit(_shard(body, self.mesh,
-                                (rep, dp, dp, dp, dp, dp, dp, dp, rep, dp),
+                                (rep, dp, dp, dp, dp, dp, dp, rep, dp),
                                 (dp, dp, dp, dp)))
             self._close_cache[key] = fn
         return fn(*args)

@@ -166,8 +166,10 @@ class Pipeline:
     # ------------------------------------------------------------------ io
     def load_pindel_input(self, path: str) -> None:
         self._input_loader = lambda: self.load_pindel_input(path)
-        self.input_reads = list(read_pindel_file(path))
-        self._index_reads()
+        with g_timer.phase("intake: parse pindel text"):
+            self.input_reads = list(read_pindel_file(path))
+        with g_timer.phase("intake: index reads"):
+            self._index_reads()
 
     def load_pindel_config(self, path: str) -> None:
         """-P: config file naming one pindel file per line (first token;

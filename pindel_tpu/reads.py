@@ -277,11 +277,39 @@ def read_pindel_file(path: str) -> Iterator[SplitRead]:
     if len(lines) % 3 == 0 and "" not in lines:
         # with no blank lines the line reader consumes exactly 3 lines
         # per record, so the batch path is equivalent
-        mk = _make_read
-        for k in range(0, len(lines), 3):
-            yield mk(lines[k], lines[k + 1], lines[k + 2].split())
+        yield from _read_pindel_batch(lines)
         return
     yield from _read_pindel_lines(lines)
+
+
+def _read_pindel_batch(lines: List[str]) -> List[SplitRead]:
+    """Tight-loop record parser (one inlined _make_read per 3 lines;
+    dict-level field stores skip the attribute-descriptor path — parsing
+    is a per-run cost at WGS read counts)."""
+    out: List[SplitRead] = []
+    ap = out.append
+    proto = _PROTO_READ.__dict__
+    new = SplitRead.__new__
+    for k in range(0, len(lines), 3):
+        d = dict(proto)
+        d["name"] = lines[k]
+        seq = lines[k + 1]
+        if seq and not seq[-1].isalnum():     # setUnmatchedSeq trim
+            while seq and not seq[-1].isalnum():
+                seq = seq[:-1]
+        d["seq"] = seq
+        meta = lines[k + 2].split()
+        if len(meta) >= 6:
+            d["matched_d"] = meta[0]
+            d["frag_name"] = meta[1]
+            d["matched_rel_pos"] = int(meta[2])
+            d["ms"] = int(meta[3])
+            d["insert_size"] = int(meta[4])
+            d["tag"] = meta[5]
+        r = new(SplitRead)
+        r.__dict__ = d
+        ap(r)
+    return out
 
 
 def _read_pindel_lines(lines: List[str]) -> Iterator[SplitRead]:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 from typing import Dict, List, Optional, TextIO
 
 import numpy as np
@@ -1161,24 +1162,39 @@ def _largest_b(b_positions: np.ndarray, a: int, b: int) -> int:
 
 
 class _PrevB:
-    """O(1) largest-masked-position-<=-x lookup over one window span
-    (the candidate scan issues ~30 _largest_b queries per pileup
-    candidate, which dominated the LI phase)."""
+    """Largest-masked-position-<=-x lookup over one window span.
+
+    The candidate scan issues ~30 ``_largest_b`` queries per pileup
+    candidate; with many candidates the O(window) prefix-max table wins,
+    with few (the common case) binary search over the mark list is far
+    cheaper than filling a multi-megabyte table, so the table is built
+    lazily on the ~1000th query."""
+
+    _TABLE_AFTER = 1000
 
     def __init__(self, b_positions: np.ndarray, lo: int, hi: int):
         self.lo = lo - 16
         self.hi = hi + 80
         self.b_positions = b_positions
-        sel = b_positions[(b_positions >= self.lo)
-                          & (b_positions <= self.hi)]
-        prev = np.full(self.hi - self.lo + 1, -1, np.int64)
-        prev[sel - self.lo] = sel
+        self.prev: Optional[np.ndarray] = None
+        self._queries = 0
+
+    def _build(self) -> None:
+        sel = self.b_positions[(self.b_positions >= self.lo)
+                               & (self.b_positions <= self.hi)]
+        prev = np.full(self.hi - self.lo + 1, -1, np.int32)
+        prev[sel - self.lo] = sel.astype(np.int32)
         np.maximum.accumulate(prev, out=prev)
         self.prev = prev
 
     def largest(self, a: int, b: int) -> int:
         if b < self.lo or b > self.hi:
             return _largest_b(self.b_positions, a, b)
+        if self.prev is None:
+            self._queries += 1
+            if self._queries < self._TABLE_AFTER:
+                return _largest_b(self.b_positions, a, b)
+            self._build()
         v = int(self.prev[b - self.lo])
         return v if v >= a else -1
 
@@ -1221,6 +1237,7 @@ def sort_output_li(reads: List[SplitRead], chr_seq: str, window_start: int,
     reference's in-loop index jumps exactly (including the plus-scan
     mutating the outer minus index, reporter.cpp:1925-1928).
     """
+    from pindel_tpu.profiling import g_timer
     s = state.settings
     cutoff = s.num_reads_to_report_cutoff
     comp_size = len(chr_seq)
@@ -1231,15 +1248,19 @@ def sort_output_li(reads: List[SplitRead], chr_seq: str, window_start: int,
         abs_end = comp_size - SPACER
     lo = abs_start - border
     hi = abs_end + border
-    sv = _ShiftedCounts(lo, hi)
+    with g_timer.phase("li: alloc"):
+        sv = _ShiftedCounts(lo, hi)
 
-    eligible = _pileup(reads, sv, MAX_SHORT)
+    with g_timer.phase("li: pileup"):
+        eligible = _pileup(reads, sv, MAX_SHORT)
 
-    mask_np = np.frombuffer(state.mask, dtype=np.uint8)
-    b_positions = np.flatnonzero(mask_np == ord("B"))
-    prevb = _PrevB(b_positions, lo, hi)
+    with g_timer.phase("li: prevb"):
+        mask_np = np.frombuffer(state.mask, dtype=np.uint8)
+        b_positions = np.flatnonzero(mask_np == ord("B"))
+        prevb = _PrevB(b_positions, lo, hi)
 
     # (plus_pos, minus_pos, plus_read_idx, minus_read_idx) in creation order
+    t_scan = time.monotonic()
     li_events: List[List] = []
     minus_cands = np.flatnonzero(sv.minus >= cutoff) + lo
     pos = lo
@@ -1265,9 +1286,11 @@ def sort_output_li(reads: List[SplitRead], chr_seq: str, window_start: int,
                 li_events.append([ip, im, [], []])
             ip += 1
         pos = im + 1
+    g_timer.add("li: scan", time.monotonic() - t_scan)
 
     if not li_events:
         return
+    t_write = time.monotonic()
 
     el_locs = np.fromiter(
         (reads[i].up_close.loc[len(reads[i].up_close) - 1]
@@ -1349,6 +1372,7 @@ def sort_output_li(reads: List[SplitRead], chr_seq: str, window_start: int,
             out.write(" " * max(rl + ls - r.read_length, 0) + r.seq
                       + f"{r.matched_d}\t{r.matched_rel_pos}\t{r.ms}"
                       f"\t{r.tag}\t{r.name}\n")
+    g_timer.add("li: assign+write", time.monotonic() - t_write)
 
 
 def sort_output_rest(reads: List[SplitRead], chr_seq: str, window_start: int,

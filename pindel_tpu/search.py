@@ -223,6 +223,10 @@ class Searcher:
         self._consume_close_results(chrom, active, results)
 
     def _consume_close_results(self, chrom: Chromosome, active, results):
+        import time
+
+        from pindel_tpu.profiling import g_timer
+        t0 = time.monotonic()
         fallback: List[SplitRead] = []
         for r, (chain, winner, needs_fb) in zip(active, results):
             if needs_fb:
@@ -236,6 +240,7 @@ class Searcher:
                                                    chrom.name)
                 r.used = False
                 r.close_end_mismatch = chain.full_mm
+        g_timer.add("search: consume close", time.monotonic() - t0)
         if fallback:
             self._map_close_rounds(chrom, fallback, self._oracle())
 
@@ -277,6 +282,10 @@ class Searcher:
 
         Reference: updateReadAfterCloseEndMapping, reader.cpp:1531-1554.
         """
+        import time
+
+        from pindel_tpu.profiling import g_timer
+        t0 = time.monotonic()
         kept: List[SplitRead] = []
         for r in reads:
             if not r.up_close:
@@ -293,6 +302,7 @@ class Searcher:
             if r.sample_name_to_number is None:
                 r.sample_name_to_number = {r.tag: 1}
             kept.append(r)
+        g_timer.add("search: finalize close", time.monotonic() - t0)
         return kept
 
     # -------------------------------------------------------------------- far
