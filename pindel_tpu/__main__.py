@@ -123,6 +123,11 @@ def main(argv=None) -> int:
                     help="shard windows across N processes (multi-host "
                          "simulation; search scales out, reporting stays "
                          "on rank 0 — see parallel/multihost.py)")
+    ap.add_argument("--dist", choices=["files", "jax"], default="files",
+                    help="--hosts transport: 'files' spools packed anchor "
+                         "tables through a shared directory; 'jax' ships "
+                         "them over jax.distributed collectives "
+                         "(parallel/distspool.py — the pod data plane)")
     ap.add_argument("--backend", choices=["numpy", "jax", "fused", "mesh"],
                     default="fused")
     args = ap.parse_args(argv)
@@ -190,13 +195,11 @@ def main(argv=None) -> int:
         return run_dd_files(args.fasta, args.config, args.output_prefix,
                             settings=s, backend=args.backend)
     if args.hosts > 1:
-        if args.config:
-            ap.error("--hosts requires pindel-text input (-p/-P): BAM "
-                     "RP evidence accumulates sequentially per process")
         from pindel_tpu.parallel.multihost import run_files_multihost
         run_files_multihost(args.fasta, args.pindel_file,
                             args.output_prefix, s, args.backend,
-                            args.hosts, pindel_config=args.pindel_config)
+                            args.hosts, pindel_config=args.pindel_config,
+                            bam_config=args.config, dist=args.dist)
         return 0
     run_files(args.fasta, args.pindel_file, args.output_prefix,
               settings=s, backend=args.backend, bam_config=args.config,

@@ -83,6 +83,7 @@ class _WindowSnap:
 
 
 _DELEGATED = "delegated"    # close/far results come from a peer process
+_SKIP = "skip"              # worker replays RP->BD state only (peer's window)
 
 
 def build_regions(settings: Settings, genome: Genome) -> List[BedRegion]:
@@ -421,13 +422,6 @@ class Pipeline:
                         reads = self._window_reads(chrom, window)
                         ref_reads = []
                 mine = sp is None or sp.mine(wsnap.index)
-                if sp is not None and sp.worker and not mine:
-                    # another process searches this window; a worker has
-                    # nothing else to do for it
-                    window.next()
-                    if window.finished(not self.bam_input, self.g_max_pos):
-                        break
-                    continue
                 staged = None
                 if deep and pending is not None:
                     staged = self._search_stage(pending, chrom)
@@ -436,6 +430,11 @@ class Pipeline:
                     with g_timer.phase("Matching close ends"):
                         token = self.searcher.map_close_ends_async(chrom,
                                                                    reads)
+                elif sp is not None and sp.worker:
+                    # a peer searches this window; the worker still
+                    # replays its RP->BD evidence in window order
+                    # (_process_window handles _SKIP)
+                    token = _SKIP
                 else:
                     token = _DELEGATED
                 if deep:
@@ -491,6 +490,22 @@ class Pipeline:
         else:
             window, reads, ref_reads, token = pending
             kept = far_tokens = None
+        if token is _SKIP:
+            # worker role, peer-owned window: replay the sequential
+            # RP->BD evidence so this rank's BD state matches the
+            # single-process run at every later window
+            if self.bam_input and s.search_discordant_read_pair:
+                rp, rp_inter = self._window_rp_discovery(chrom, window)
+                self.bd.update_bd(rp, rp_inter, self._out("RP"),
+                                  s.report_interchromosomal_events)
+            sp = self.spool
+            if (hasattr(sp, "consume")
+                    and sp.needs_transport(window.index)):
+                # collective transport: join the owning worker's
+                # broadcast (collectives are global) and discard
+                sp.consume(window.index)
+            g_read_stats.reset()
+            return
         self.state.region_start = window.current_start
         self.state.region_end = window.current_end
         for r in reads:
