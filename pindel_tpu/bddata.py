@@ -493,18 +493,129 @@ def _process_same_chr_same_strand(first: RPRead, second: RPRead) -> None:
         first.pos_b1 = second.pos_b1
 
 
+def _overlap_mask(i: int, J: np.ndarray, pos_a, pos_a1, pos_b, pos_b1,
+                  span_ok) -> np.ndarray:
+    """Vectorized RecipicalOverlap(reads[i], reads[J]) (bddata.cpp:
+    180-237) for seconds J that already share reads[i]'s strands.
+
+    Matches the scalar rule bit-for-bit on integer inputs: midpoints via
+    floor division, float64 ratio compares.  Degenerate zero-length
+    spans (which would raise ZeroDivisionError in the scalar form and
+    can't occur on well-formed RP reads) evaluate to non-overlap."""
+    if not span_ok[i]:
+        return np.zeros(J.shape, dtype=bool)
+    fa = (int(pos_a[i]) + int(pos_a1[i])) // 2
+    fb = (int(pos_b[i]) + int(pos_b1[i])) // 2
+    if fa > fb:
+        fa, fb = fb, fa
+    sa = (pos_a[J] + pos_a1[J]) // 2
+    sb = (pos_b[J] + pos_b1[J]) // 2
+    lo = np.minimum(sa, sb)
+    hi = np.maximum(sa, sb)
+    m = span_ok[J] & ~((fa > hi + 200) | (fb + 200 < lo))
+    if not m.any():
+        return m
+    flen = np.float64(fb - fa)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slen = (hi - lo).astype(np.float64)
+        c = ((fa <= lo) & (hi <= fb) & ((hi - lo) / flen >= 0.9))
+        c |= ((lo <= fa) & (fb <= hi) & ((fb - fa) / slen >= 0.9))
+        c |= ((fa <= lo) & (lo <= fb) & (fb <= hi)
+              & ((fb - lo) / flen >= 0.9) & ((fb - lo) / slen >= 0.9))
+        c |= ((lo <= fa) & (fa <= hi) & (hi <= fb)
+              & ((hi - fa) / flen >= 0.9) & ((hi - fa) / slen >= 0.9))
+    return m & c
+
+
+def _apply_process(i: int, j: int, pos_a, pos_a1, pos_b, pos_b1,
+                   da, db) -> bool:
+    """ProcessSameChromosomeSameStrand (bddata.cpp:302-353) on the SoA
+    arrays; returns whether reads[i] changed (so the caller re-tests the
+    remaining seconds against the updated coordinates, exactly like the
+    scalar loop's visibility order)."""
+    if (pos_a1[j] - pos_a[j] > 10000
+            or pos_b1[j] - pos_b[j] > 10000):
+        return False
+    changed = False
+    if ((da[i] and pos_a[i] < pos_a[j] < pos_a1[i] < pos_a1[j])
+            or (not da[i] and pos_a[i] < pos_a1[j] < pos_a1[i]
+                and pos_a[j] < pos_a[i])):
+        pos_a[i] = pos_a[j]
+        pos_a1[i] = pos_a1[j]
+        changed = True
+    if ((db[i] and pos_b[i] < pos_b[j] < pos_b1[i] < pos_b1[j])
+            or (not db[i] and pos_b[j] < pos_b[i] < pos_b1[j]
+                and pos_b1[j] < pos_b1[i])):
+        pos_b[i] = pos_b[j]
+        pos_b1[i] = pos_b1[j]
+        changed = True
+    return changed
+
+
 def modify_rp(reads: List[RPRead]) -> None:
-    """ModifyRP (bddata.cpp:386-436) — sequential (-T 1) semantics."""
+    """ModifyRP (bddata.cpp:386-436) — sequential (-T 1) semantics.
+
+    The reference's O(n^2) nested object loop is restructured as, per
+    ``first``, one vectorized reciprocal-overlap pass over the seconds
+    sharing its strand pair; when a second mutates ``first`` the
+    remaining seconds are re-tested with the updated coordinates, so the
+    merge results are identical to the scalar loop (which sees updates
+    immediately)."""
     if not reads:
         return
     reads.sort(key=lambda r: (-r.original_pos_a, -r.original_pos_b))
     initialize_a1b1(reads)
-    for first in reads:
-        for second in reads:
-            if reciprocal_overlap(first, second):
-                if first.da == second.da and first.db == second.db:
-                    _process_same_chr_same_strand(first, second)
-    for r in reads:
+    n = len(reads)
+    pos_a = np.fromiter((r.pos_a for r in reads), np.int64, n)
+    pos_a1 = np.fromiter((r.pos_a1 for r in reads), np.int64, n)
+    pos_b = np.fromiter((r.pos_b for r in reads), np.int64, n)
+    pos_b1 = np.fromiter((r.pos_b1 for r in reads), np.int64, n)
+    da = np.fromiter((r.da == "+" for r in reads), bool, n)
+    db = np.fromiter((r.db == "+" for r in reads), bool, n)
+    # spans <= 1000 is invariant under merges (a merge copies a span
+    # from a second that itself passed the span test)
+    span_ok = ((np.abs(pos_a - pos_a1) <= 1000)
+               & (np.abs(pos_b - pos_b1) <= 1000))
+    groups = {}
+    for key in ((False, False), (False, True), (True, False), (True, True)):
+        groups[key] = np.flatnonzero((da == key[0]) & (db == key[1]))
+    arrays = (pos_a, pos_a1, pos_b, pos_b1)
+    # midpoint interval [lo, hi] per read, maintained across merges: the
+    # overlap rule requires [lo_i-200, hi_i+200] to intersect [lo_j, hi_j],
+    # which prunes the candidate seconds to near-neighbours in 2 compares
+    mid_a = (pos_a + pos_a1) // 2
+    mid_b = (pos_b + pos_b1) // 2
+    lo = np.minimum(mid_a, mid_b)
+    hi = np.maximum(mid_a, mid_b)
+    for i in range(n):
+        if not span_ok[i]:
+            continue
+        J = groups[(bool(da[i]), bool(db[i]))]
+        start = 0
+        while start < J.size:
+            sub = J[start:]
+            cand = sub[(hi[sub] >= lo[i] - 200) & (lo[sub] <= hi[i] + 200)]
+            hits = np.flatnonzero(_overlap_mask(i, cand, *arrays, span_ok))
+            advanced = None
+            for h in hits.tolist():
+                j = int(cand[h])
+                if _apply_process(i, j, *arrays, da, db):
+                    # reads[i]'s coords changed: refresh its interval and
+                    # re-test the seconds after j with the new values
+                    ma = (int(pos_a[i]) + int(pos_a1[i])) // 2
+                    mb = (int(pos_b[i]) + int(pos_b1[i])) // 2
+                    lo[i] = min(ma, mb)
+                    hi[i] = max(ma, mb)
+                    advanced = int(np.searchsorted(sub, j, "right")) + start
+                    break
+            if advanced is None:
+                break
+            start = advanced
+    for k, r in enumerate(reads):
+        r.pos_a = int(pos_a[k])
+        r.pos_a1 = int(pos_a1[k])
+        r.pos_b = int(pos_b[k])
+        r.pos_b1 = int(pos_b1[k])
         if r.da == "+":
             r.pos_a += r.read_length
             r.pos_a1 += r.read_length
@@ -541,54 +652,52 @@ def modify_rp_interchr(reads: List[RPRead]) -> None:
 
 
 def summarize(reads: List[RPRead]) -> None:
-    """Summarize (bddata.cpp:470-560)."""
-    if len(reads) < RP_SUPPORT_CUTOFF:
+    """Summarize (bddata.cpp:470-560), restructured as a group-by.
+
+    The reference's first O(n^2) pass groups non-visited reads with an
+    identical (pos/strand) key onto the first occurrence; its second
+    pass over the group representatives can never merge again (two reps
+    sharing a key would already have merged) and only sets ``report``.
+    Quirks kept: the last read (index n-1) is never an outer ``first``,
+    so a singleton group anchored there is dropped; with two or more
+    representatives the LAST one never has ``report`` set (the second
+    pass iterates ``range(len(good)-1)``)."""
+    n = len(reads)
+    if n < RP_SUPPORT_CUTOFF:
         for r in reads:
             r.report = False
         return
+    active = [i for i in range(n) if not reads[i].visited]
+    if not active:
+        return
+    key2first: dict = {}
     good: List[int] = []
-    for i in range(len(reads) - 1):
-        first = reads[i]
-        if first.visited:
-            continue
-        first.num_identical = 1
-        for j in range(i + 1, len(reads)):
-            second = reads[j]
-            if second.visited:
+    for i in active:
+        r = reads[i]
+        key = (r.pos_a, r.pos_b, r.pos_a1, r.pos_b1, r.da, r.db)
+        rep = key2first.get(key)
+        if rep is None:
+            if i == n - 1:
+                # never an outer `first` in the reference's range(n-1)
                 continue
-            if (first.pos_a == second.pos_a
-                    and first.pos_b == second.pos_b
-                    and first.pos_a1 == second.pos_a1
-                    and first.pos_b1 == second.pos_b1
-                    and first.da == second.da and first.db == second.db):
-                first.num_identical += 1
-                second.visited = True
-                if second.tags:
-                    first.tags.extend(second.tags)
-                    second.tags = []
-        good.append(i)
+            key2first[key] = i
+            r.num_identical = 1
+            good.append(i)
+        else:
+            first = reads[rep]
+            first.num_identical += 1
+            r.visited = True
+            if r.tags:
+                first.tags.extend(r.tags)
+                r.tags = []
     if not good:
         return
     if len(good) == 1:
         reads[good[0]].report = \
             reads[good[0]].num_identical >= RP_SUPPORT_CUTOFF
         return
-    for ia in range(len(good) - 1):
-        a = reads[good[ia]]
-        if a.visited:
-            continue
-        for ib in range(ia + 1, len(good)):
-            b = reads[good[ib]]
-            if b.visited:
-                continue
-            if (a.da == b.da and a.db == b.db
-                    and a.pos_a == b.pos_a and a.pos_a1 == b.pos_a1
-                    and a.pos_b == b.pos_b and a.pos_b1 == b.pos_b1):
-                a.num_identical += b.num_identical
-                b.visited = True
-                if b.tags:
-                    a.tags.extend(b.tags)
-                    b.tags = []
+    for i in good[:-1]:
+        a = reads[i]
         a.report = a.num_identical >= RP_SUPPORT_CUTOFF
 
 

@@ -520,12 +520,15 @@ class Pipeline:
         # then window rasterization.  Neither affects close-end mapping,
         # so they run after the close dispatch.
         if self.bam_input and s.search_discordant_read_pair:
-            rp, rp_inter = self._window_rp_discovery(chrom, window)
-            self.bd.update_bd(rp, rp_inter, self._out("RP"),
-                              s.report_interchromosomal_events)
-        self.bd.load_region(chrom.name,
-                            window.current_start + SPACER,
-                            window.current_end + SPACER)
+            with g_timer.phase("bd: rp discovery"):
+                rp, rp_inter = self._window_rp_discovery(chrom, window)
+            with g_timer.phase("bd: update"):
+                self.bd.update_bd(rp, rp_inter, self._out("RP"),
+                                  s.report_interchromosomal_events)
+        with g_timer.phase("bd: load region"):
+            self.bd.load_region(chrom.name,
+                                window.current_start + SPACER,
+                                window.current_end + SPACER)
         self._update_ref_coverage(ref_reads, window)
         g_read_stats.in_window += len(reads)
         if kept is None:
