@@ -57,6 +57,18 @@ def revcomp_str(seq: str) -> str:
     return seq[::-1].translate(_RC_STR)
 
 
+# exact string-level equivalent of decode(revcomp(encode(s))): lowercase
+# acgt complement to uppercase, everything else to N — a single
+# translate instead of the numpy round-trip (hot in the close-end flip)
+_RC_EXACT = str.maketrans(
+    {chr(c): chr(int(_DECODE[RC[_ENCODE[c]]])) for c in range(256)})
+
+
+def flip_rc(seq: str) -> str:
+    """Persistent setUnmatchedSeq RC flip (pindel.cpp:2545)."""
+    return seq[::-1].translate(_RC_EXACT)
+
+
 def matches(read_base: np.ndarray, ref_base: np.ndarray) -> np.ndarray:
     """Vectorized Matches(): see module docstring."""
     read_base = np.asarray(read_base)

@@ -9,13 +9,14 @@ whole per-window search into two launches:
 * reads are uploaded ONCE per chunk (int8 base codes + scalar metadata);
   all query orientations (reverse, complement, reverse-complement) are
   derived on device;
-* ``_close_range_kernel`` evaluates both attempts of one close-end range
-  of the reference schedule (GetCloseEnd, pindel.cpp:2531-2576: (range0,
-  seq), (range0, RC), then (range1, RC), (range1, seq)) as two *lane
-  groups* with per-group emission statistics, picking the first group
-  that emits — bit-equal to running the attempts sequentially because
-  the attempts are independent given the read.  Range 1 (a 3x-wider
-  window) is launched only for the compacted set of range-0 failures;
+* ``_close_kernel`` evaluates ALL FOUR attempts of the reference close
+  schedule (GetCloseEnd, pindel.cpp:2531-2576: (range0, seq), (range0,
+  RC), then (range1, RC), (range1, seq)) as lane groups with per-group
+  emission statistics in ONE launch, picking the first group that emits
+  — bit-equal to running the attempts sequentially because the attempts
+  are independent given the read.  Each chunk is one metadata upload,
+  one launch and one packed download: the axon tunnel charges ~30-40 ms
+  per RPC, which dominates everything else at these sizes;
 * ``_far_kernel`` evaluates all geometric far-end escalation rounds
   (SearchFarEnd, pindel.cpp:1001-1074: span 64*4^k) in one launch, with
   the NewUPFarIsBetter replacement rule (farend_searcher.cpp:30-44)
@@ -187,60 +188,52 @@ def _scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
                           w=w, lmax=lmax, mpm=mpm, lsteps=lsteps)
 
 
+NEVER = -(1 << 20)   # lastmm sentinel: no strict mismatch yet
+MAXI = 2 ** 31 - 1   # runner-up placeholder for the min-key lanes
+
+
 def _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
                    *, w: int, lmax: int, mpm: int, lsteps: int = 0):
+    """XLA twin of pallas_scan._kernel — must stay bit-identical.
+
+    State per candidate is (packed key base, last strict-mismatch step):
+    dead lanes START at the `dead` level instead of being clamped per
+    step (levels are monotone counts, see pallas_scan docstring), and
+    the strict-window rule is ``lastmm > l - mpm``."""
     lsteps = lsteps or lmax
-    small = lmax <= 255
-    cum_dtype = jnp.uint8 if small else jnp.int16
-    dead = U8DEAD if small else I16DEAD
+    dead = U8DEAD if lmax <= 255 else I16DEAD
     shift = _key_shift(w)
-    assert shift + (8 if small else 10) <= 31, (w, lmax)
+    assert ((dead + lmax) << shift) + (1 << shift) < 2 ** 31, (w, lmax)
     r = tiles.shape[0]
 
     widx = jnp.arange(w, dtype=jnp.int32)
     seeded = (tiles[:, :w] == qq[:, 0:1]) & (widx[None, :] < valid_w[:, None])
     seeded &= (qq[:, 0:1] != dna.N)
-    tsec_b = tsec_minus[:, None].astype(cum_dtype)
-    key_w = widx[None, :] << 2
+    keybase0 = (jnp.where(seeded, 0, jnp.int32(dead)) << shift) \
+        | (widx[None, :] << 2)
 
-    def step_mm(l):
+    def body(carry, l):
+        keybase, lastmm = carry
         ref = jax.lax.dynamic_slice_in_dim(tiles, l, w, axis=1)
         qb = jax.lax.dynamic_slice_in_dim(qq, l, 1, axis=1)
-        is_n = qb == dna.N
-        match = jnp.where(is_n, ref != dna.N, ref == qb)
-        return ref, qb, ~match, ref != qb
+        d = ref != qb
+        mm = (d ^ (qb == dna.N)) & ((l >= 1) & (l < qlen[:, None]))
+        keybase = keybase + (mm.astype(jnp.int32) << shift)
+        lastmm = jnp.where(
+            d, jax.lax.select(l >= 1, l, jnp.int32(NEVER)), lastmm)
+        key = keybase + ((lastmm > l - mpm).astype(jnp.int32) << 1)
+        kmin = jnp.min(key, axis=1)
+        k2 = jnp.min(jnp.where(key == kmin[:, None],
+                               jnp.int32(MAXI), key), axis=1)
+        return (keybase, lastmm), (kmin, k2)
 
-    # Single pass (see pallas_scan._kernel): cum is gated by qlen so its
-    # final value is the whole-read count (CheckMismatches fit input);
-    # the fit bit never affects which candidate wins the key min, so it
-    # is gathered at the winner afterwards instead of scanned twice.
-    def body(carry, l):
-        cum, ws = carry
-        _, _, mm, strict_mm = step_mm(l)
-        gate = (l >= 1) & (l < qlen[:, None])
-        cum = cum + jnp.where(gate, mm, False).astype(cum_dtype)
-        # rolling strict window: retire the step that falls out (recompute
-        # from the tile instead of carrying an mpm-deep history ring)
-        _, _, _, strict_old = step_mm(jnp.maximum(l - mpm, 0))
-        first = l == 0
-        ws = (ws + jnp.where(first, False, strict_mm).astype(jnp.uint8)
-              - jnp.where(l - mpm >= 1, strict_old, False).astype(jnp.uint8))
-        lvl = jnp.where(seeded & (cum <= tsec_b), cum, cum_dtype(dead))
-        keys = ((lvl.astype(jnp.int32) << shift) | key_w
-                | ((ws > 0).astype(jnp.int32) << 1))
-        kmin = jnp.min(keys, axis=1)
-        k2 = jnp.min(jnp.where(keys == kmin[:, None],
-                               jnp.int32(2 ** 30), keys), axis=1)
-        return (cum, ws), (kmin, k2)
-
-    z = jnp.zeros((r, w), cum_dtype)
-    zu = jnp.zeros((r, w), jnp.uint8)
-    (cum_end, _), (kmin, k2) = jax.lax.scan(
-        body, (z, zu), jnp.arange(lsteps, dtype=jnp.int32))
+    lm0 = jnp.full((r, w), NEVER, jnp.int32)
+    (keybase_end, _), (kmin, k2) = jax.lax.scan(
+        body, (keybase0, lm0), jnp.arange(lsteps, dtype=jnp.int32))
     pad = ((0, 0), (0, lmax - lsteps))
     return (jnp.pad(jnp.moveaxis(kmin, 0, 1), pad),
             jnp.pad(jnp.moveaxis(k2, 0, 1), pad),
-            cum_end.astype(jnp.int32))
+            keybase_end >> shift)
 
 
 def _pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
@@ -307,12 +300,18 @@ def _emit_rules(min_mm, lvl2, rep_key, rep_strict_bad, fit_ok,
     return emit, rep_last, uniform, any_emit, last
 
 
-def _pack_bits(emit):
-    """[..., L] bool -> [..., L/8] uint8 (little-endian within the byte)."""
+def _pack_words(emit):
+    """[..., L] bool -> [..., L/32] int32 (little-endian within a word).
+
+    The whole per-read result of a launch is packed into ONE int32 row
+    (emission words + representative + flags) so a chunk's download is a
+    single transfer — the axon tunnel charges ~30-40 ms latency per RPC,
+    which dwarfs the payload for these sizes."""
     shp = emit.shape
-    e = emit.reshape(shp[:-1] + (shp[-1] // 8, 8)).astype(jnp.uint8)
-    return (e << jnp.arange(8, dtype=jnp.uint8)).sum(
-        axis=-1, dtype=jnp.uint32).astype(jnp.uint8)
+    e = emit.reshape(shp[:-1] + (shp[-1] // 32, 32)).astype(jnp.uint32)
+    words = (e << jnp.arange(32, dtype=jnp.uint32)).sum(
+        axis=-1, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(words, jnp.int32)
 
 
 def _complement(codes):
@@ -328,19 +327,60 @@ def _reverse_within(codes, qlen, lmax: int):
     return jnp.where(l < qlen[:, None], rev, jnp.int8(dna.N))
 
 
+# --------------------------------------------------- payload pack/unpack
+# Uploads ride a ~30 MB/s tunnel, so each chunk ships ONE int8 payload:
+# 4-bit-packed base codes (2 bases/byte) followed by bit-packed per-read
+# metadata (3 int32 words for close, 4 for far).
+
+def _pack_payload(codes: np.ndarray, meta32: np.ndarray) -> np.ndarray:
+    """[b, lmax] int8 codes + [b, K] int32 meta -> [b, lmax//2+4K] int8."""
+    a = codes.astype(np.uint8)
+    packed = (a[:, 0::2] | (a[:, 1::2] << 4)).view(np.int8)
+    return np.concatenate([packed, meta32.astype("<i4").view(np.int8)
+                           .reshape(codes.shape[0], -1)], axis=1)
+
+
+def _unpack_payload(payload, lmax: int, nmeta: int):
+    """Device-side inverse of _pack_payload -> (codes [b,lmax] int8,
+    meta [b,nmeta] int32)."""
+    b = payload.shape[0]
+    p32 = payload[:, :lmax // 2].astype(jnp.int32)
+    codes = jnp.stack([p32 & 15, (p32 >> 4) & 15], axis=-1) \
+        .reshape(b, lmax).astype(jnp.int8)
+    meta = jax.lax.bitcast_convert_type(
+        payload[:, lmax // 2:].reshape(b, nmeta, 4), jnp.int32)
+    return codes, meta
+
+
 # ------------------------------------------------------------ close kernel
-def _close_range_kernel(chrom, codes, qlen, matched_minus, win,
-                        max_snp, tsec_minus, maxmm, thr,
-                        *, w: int, lmax: int, mpm: int, bp_start: int,
-                        range1: bool, lsteps: int = 0):
-    """Both attempts of ONE close-end range in one launch.
+# close meta words: [0] anchor pos; [1] insert_size | qlen<<17;
+# [2] ms | tm<<8 | thr<<16 | minus<<26
+CM_WORDS = 3
+
+
+def _close_meta(pos, isz, qlen, ms, tm, thr, minus) -> np.ndarray:
+    m = np.zeros((pos.shape[0], CM_WORDS), np.int32)
+    m[:, 0] = pos
+    m[:, 1] = isz | (qlen.astype(np.int64) << 17)
+    m[:, 2] = (ms | (tm.astype(np.int64) << 8)
+               | (thr.astype(np.int64) << 16)
+               | (minus.astype(np.int64) << 26))
+    return m
+
+
+def _close_kernel(chrom, payload, maxmm,
+                  *, w0: int, w1: int, lmax: int, mpm: int, bp_start: int,
+                  lsteps: int, with_r1: bool):
+    """ALL FOUR close-end attempts in one launch.
 
     Attempt schedule (GetCloseEnd, pindel.cpp:2531-2576): (range0, seq),
-    (range0, RC), then — only for reads with no unique point after
-    range 0 — (range1, RC), (range1, seq).  Splitting the ranges into two
-    launches lets the driver dispatch range 1 on the compacted failure
-    set only: the range-1 window is 3x the insert size, so skipping it
-    for range-0 successes removes most of that scan.
+    (range0, RC), then — only when range 0 found no unique point —
+    (range1, RC), (range1, seq).  Both ranges are scanned
+    unconditionally and merged on device with range-0 precedence, which
+    is bit-equal to running them sequentially because the attempts are
+    independent given the read; the redundant range-1 compute for
+    range-0 successes costs less than the extra tunnel round-trips of a
+    compacted second launch (~30-40 ms latency per RPC).
 
     Per the lane construction (close_end_lane in search.py,
     GetCloseEndInner pindel.cpp:2271-2316): a '+'-anchored read searches
@@ -352,51 +392,96 @@ def _close_range_kernel(chrom, codes, qlen, matched_minus, win,
         '+' read, attempts 0..3: qq = [RC(f), f,    f,    RC(f)]
         '-' read, attempts 0..3: qq = [R(f),  C(f), C(f), R(f)]
 
-    where R = reverse-within-qlen and C = base complement.  range 0 tries
-    (orig, RC); range 1 continues the flip state: (RC, orig).
+    where R = reverse-within-qlen and C = base complement.
 
-    Returns (emit bits, rep, winner 0|1|255, uniform) with winner the
-    group index WITHIN this range.
+    Inputs: payload (see _pack_payload: 4-bit codes + CM_WORDS meta).
+    Output: ONE int32 array [B, lmax//32 + 2]: emission words of the
+    winning attempt, its representative, and flags = winner(0..3 or
+    255) | uniform << 8.
     """
+    from pindel_tpu.genome import SPACER
+    codes, meta = _unpack_payload(payload, lmax, CM_WORDS)
+    pos = meta[:, 0]
+    isz = meta[:, 1] & 0x1ffff
+    qlen = meta[:, 1] >> 17
+    ms = meta[:, 2] & 0xff
+    tm = (meta[:, 2] >> 8) & 0xff
+    thr = (meta[:, 2] >> 16) & 0x3ff
+    minus = ((meta[:, 2] >> 26) & 1).astype(bool)
     f = codes
     cf = _complement(f)
     rf = _reverse_within(f, qlen, lmax)
     rcf = _reverse_within(cf, qlen, lmax)
-    mm_col = matched_minus[:, None]
+    mm_col = minus[:, None]
     q_orig = jnp.where(mm_col, rf, rcf)   # attempt with original sequence
     q_flip = jnp.where(mm_col, cf, f)     # attempt with RC'd sequence
-    qa, qb = (q_flip, q_orig) if range1 else (q_orig, q_flip)
 
-    start = win[:, 0]
-    end = win[:, 1]
-    ss = jnp.where(matched_minus, end - (w + lmax), start)
-    valid = jnp.clip(end - start, 0, w)
-    qq = jnp.stack([qa, qb], axis=1)                             # [B,2,L]
-    slice_start = jnp.stack([ss, ss], axis=1)
-    reverse = jnp.stack([matched_minus, matched_minus], axis=1)
-    valid_w = jnp.stack([valid, valid], axis=1)
-    stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
-                        qlen, max_snp, tsec_minus, thr,
-                        w=w, lmax=lmax, g=2, nlg=1, mpm=mpm,
-                        lsteps=lsteps)
-    emit, rep_last, uniform, any_emit, _last = _emit_rules(
-        *stats, reverse, qlen, max_snp, tsec_minus, maxmm,
-        w=w, lmax=lmax, g=2, nlg=1, mpm=mpm, bp_start=bp_start)
+    def one_range(k, w, qa, qb):
+        # attempt windows (close_end_lane geometry, pindel.cpp:2271-2316)
+        plus_start = pos + SPACER - k * isz
+        minus_end = pos + SPACER + k * isz
+        start = jnp.where(minus, minus_end - (2 * k + 1) * isz, plus_start)
+        end = jnp.where(minus, minus_end, plus_start + (2 * k + 1) * isz)
+        ss = jnp.where(minus, end - (w + lmax), start)
+        valid = jnp.clip(end - start, 0, w)
+        qq = jnp.stack([qa, qb], axis=1)                         # [B,2,L]
+        slice_start = jnp.stack([ss, ss], axis=1)
+        reverse = jnp.stack([minus, minus], axis=1)
+        valid_w = jnp.stack([valid, valid], axis=1)
+        stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
+                            qlen, ms, tm, thr,
+                            w=w, lmax=lmax, g=2, nlg=1, mpm=mpm,
+                            lsteps=lsteps)
+        emit, rep_last, uniform, any_emit, _last = _emit_rules(
+            *stats, reverse, qlen, ms, tm, maxmm,
+            w=w, lmax=lmax, g=2, nlg=1, mpm=mpm, bp_start=bp_start)
+        winner = jnp.argmax(any_emit, axis=1).astype(jnp.int32)  # first hit
+        has = jnp.any(any_emit, axis=1)
+        emit_w = jnp.take_along_axis(
+            emit, winner[:, None, None], axis=1)[:, 0]
+        rep_w = jnp.take_along_axis(rep_last, winner[:, None], axis=1)[:, 0]
+        uni_w = jnp.take_along_axis(uniform, winner[:, None], axis=1)[:, 0]
+        return has, winner, emit_w, rep_w, uni_w
 
-    winner = jnp.argmax(any_emit, axis=1).astype(jnp.int32)       # first hit
-    has = jnp.any(any_emit, axis=1)
-    emit_w = jnp.take_along_axis(emit, winner[:, None, None], axis=1)[:, 0]
-    rep_w = jnp.take_along_axis(rep_last, winner[:, None], axis=1)[:, 0]
-    uni_w = jnp.take_along_axis(uniform, winner[:, None], axis=1)[:, 0]
-    return (_pack_bits(emit_w), rep_w.astype(jnp.int32),
-            jnp.where(has, winner, 255).astype(jnp.uint8), uni_w)
+    has0, win0, emit0, rep0, uni0 = one_range(0, w0, q_orig, q_flip)
+    if with_r1:
+        has1, win1, emit1, rep1, uni1 = one_range(1, w1, q_flip, q_orig)
+        use1 = ~has0
+        emit = jnp.where(use1[:, None], emit1, emit0)
+        rep = jnp.where(use1, rep1, rep0)
+        uni = jnp.where(use1, uni1, uni0)
+        winner = jnp.where(has0, win0,
+                           jnp.where(has1, win1 + 2, 255))
+    else:
+        emit, rep, uni = emit0, rep0, uni0
+        winner = jnp.where(has0, win0, 255)
+    words = _pack_words(emit)
+    flags = winner | (uni.astype(jnp.int32) << 8)
+    return jnp.concatenate(
+        [words, rep[:, None].astype(jnp.int32), flags[:, None]], axis=1)
 
 
 # -------------------------------------------------------------- far kernel
-def _far_kernel(chrom, codes, qlen, close_max, init_max,
-                wins, max_snp, tsec_minus, maxmm, thr,
-                *, ws: Tuple[int, ...], lmax: int, mpm: int, bp_start: int,
-                lsteps: int = 0):
+# far meta words: [0] close-end center; [1] qlen | close_max<<10 |
+# init_max<<20; [2] ms | tm<<8 | thr<<16; [3] padded chromosome size
+FM_WORDS = 4
+
+
+def _far_meta(center, qlen, close_max, init_max, ms, tm, thr,
+              comp_size: int) -> np.ndarray:
+    m = np.zeros((center.shape[0], FM_WORDS), np.int32)
+    m[:, 0] = center
+    m[:, 1] = (qlen.astype(np.int64) | (close_max.astype(np.int64) << 10)
+               | (init_max.astype(np.int64) << 20))
+    m[:, 2] = (ms | (tm.astype(np.int64) << 8)
+               | (thr.astype(np.int64) << 16))
+    m[:, 3] = comp_size
+    return m
+
+
+def _far_kernel(chrom, payload, maxmm,
+                *, spans: Tuple[int, ...], ws: Tuple[int, ...], lmax: int,
+                mpm: int, bp_start: int, lsteps: int = 0):
     """All geometric far-end escalation rounds in one launch.
 
     Lane construction (far_end_lanes in search.py / SearchFarEndAtPos,
@@ -406,26 +491,41 @@ def _far_kernel(chrom, codes, qlen, close_max, init_max,
     already hold the read's *current* (possibly close-end-flipped)
     sequence.
 
-    wins: [B, R, 2] per-round (start, end); ws: static per-round buckets.
-    State between rounds follows the legacy driver (search.py): a read is
-    searched in round r iff close_max + far_max < qlen (goodFarEndFound,
+    payload: see _pack_payload (4-bit codes + FM_WORDS meta); spans/ws:
+    static per-round half-spans and window buckets.  State between
+    rounds follows the legacy driver (search.py): a read is searched in
+    round r iff close_max + far_max < qlen (goodFarEndFound,
     pindel.cpp:480-483); the round result replaces the current one iff
     new_max >= far_max (NewUPFarIsBetter, farend_searcher.cpp:30-44).
+
+    Output: ONE int32 array [B, lmax//32 + 2]: emission words, rep, and
+    flags = round(0..R-1 or 255) | replaced << 8 | uniform << 9.
     """
+    from pindel_tpu.genome import SPACER
+    codes, meta = _unpack_payload(payload, lmax, FM_WORDS)
     b = codes.shape[0]
+    center = meta[:, 0]
+    qlen = meta[:, 1] & 0x3ff
+    close_max = (meta[:, 1] >> 10) & 0x3ff
+    ms = meta[:, 2] & 0xff
+    tm = (meta[:, 2] >> 8) & 0xff
+    thr = (meta[:, 2] >> 16) & 0x3ff
+    comp_size = meta[:, 3]
     q0 = codes                            # forward lane: current sequence
     q1 = _complement(codes)               # backward lane: R(RC(cur)) = C(cur)
 
     st_emit = jnp.zeros((b, lmax), dtype=bool)
     st_rep = jnp.zeros((b,), dtype=jnp.int32)
     st_uni = jnp.ones((b,), dtype=bool)
-    st_max = init_max.astype(jnp.int32)
-    st_round = jnp.full((b,), -1, dtype=jnp.int32)
+    st_max = (meta[:, 1] >> 20) & 0x3ff
+    st_round = jnp.full((b,), 255, dtype=jnp.int32)
     st_replaced = jnp.zeros((b,), dtype=bool)
 
-    for r, wb in enumerate(ws):
-        start = wins[:, r, 0]
-        end = wins[:, r, 1]
+    for r, (span, wb) in enumerate(zip(spans, ws)):
+        # window geometry: search.py search_far_ends
+        start = jnp.where(center > span + SPACER, center - span, SPACER)
+        end = jnp.maximum(jnp.minimum(center + span, comp_size - SPACER),
+                          start)
         qq = jnp.stack([q0, q1], axis=1)
         slice_start = jnp.stack([start, end - (wb + lmax)], axis=1)
         reverse = jnp.stack([jnp.zeros((b,), bool), jnp.ones((b,), bool)],
@@ -433,11 +533,11 @@ def _far_kernel(chrom, codes, qlen, close_max, init_max,
         valid = jnp.clip(end - start, 0, wb)
         valid_w = jnp.stack([valid, valid], axis=1)
         stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
-                            qlen, max_snp, tsec_minus, thr,
+                            qlen, ms, tm, thr,
                             w=wb, lmax=lmax, g=1, nlg=2, mpm=mpm,
                             lsteps=lsteps)
         emit, rep_last, uniform, any_emit, last = _emit_rules(
-            *stats, reverse, qlen, max_snp, tsec_minus, maxmm,
+            *stats, reverse, qlen, ms, tm, maxmm,
             w=wb, lmax=lmax, g=1, nlg=2, mpm=mpm, bp_start=bp_start)
         emit = emit[:, 0]
         rep_last = rep_last[:, 0]
@@ -453,21 +553,26 @@ def _far_kernel(chrom, codes, qlen, close_max, init_max,
         st_round = jnp.where(replace, r, st_round)
         st_replaced = st_replaced | replace
 
-    return (_pack_bits(st_emit), st_rep, st_uni,
-            st_round.astype(jnp.int8), st_replaced)
+    words = _pack_words(st_emit)
+    flags = (st_round | (st_replaced.astype(jnp.int32) << 8)
+             | (st_uni.astype(jnp.int32) << 9))
+    return jnp.concatenate(
+        [words, st_rep[:, None], flags[:, None]], axis=1)
 
 
 _close_kernel_jit = partial(jax.jit, static_argnames=(
-    "w", "lmax", "mpm", "bp_start", "range1", "lsteps"))(_close_range_kernel)
+    "w0", "w1", "lmax", "mpm", "bp_start", "lsteps",
+    "with_r1"))(_close_kernel)
 _far_kernel_jit = partial(jax.jit, static_argnames=(
-    "ws", "lmax", "mpm", "bp_start", "lsteps"))(_far_kernel)
+    "spans", "ws", "lmax", "mpm", "bp_start", "lsteps"))(_far_kernel)
 
 
 # --------------------------------------------------------------- host side
-def unpack_bits(bits: np.ndarray, lmax: int) -> np.ndarray:
-    """[..., L/8] uint8 -> [..., L] bool (inverse of _pack_bits)."""
-    return np.unpackbits(np.asarray(bits, dtype=np.uint8), axis=-1,
-                         bitorder="little")[..., :lmax].astype(bool)
+def unpack_words(words: np.ndarray, lmax: int) -> np.ndarray:
+    """[..., L/32] int32 -> [..., L] bool (inverse of _pack_words)."""
+    u = np.asarray(words).view(np.uint32)
+    bits = (u[..., :, None] >> np.arange(32, dtype=np.uint32)) & 1
+    return bits.reshape(*words.shape[:-1], -1)[..., :lmax].astype(bool)
 
 
 @dataclasses.dataclass
@@ -481,7 +586,7 @@ class ChainDecode:
     full_mm: int               # whole-read mismatches of the chain
 
 
-def decode_chains(chrom_codes: np.ndarray, emit_bits: np.ndarray,
+def decode_chains(chrom_codes: np.ndarray, emit: np.ndarray,
                   w_off: np.ndarray, slice_start: np.ndarray,
                   tile_reverse: np.ndarray, queries: np.ndarray,
                   qlen: np.ndarray, wbuck: np.ndarray, lmax: int
@@ -500,8 +605,7 @@ def decode_chains(chrom_codes: np.ndarray, emit_bits: np.ndarray,
     a backward (tile-reversed) lane's at ss + tlen-1 - w_off - (ll-1).
     All chain arrays are slice views into shared batch arrays.
     """
-    n = emit_bits.shape[0]
-    emit = unpack_bits(emit_bits, lmax)                     # [N, L]
+    n = emit.shape[0]
     out: List[Optional[ChainDecode]] = [None] * n
     idx = np.flatnonzero(emit.any(axis=1))
     if idx.size == 0:
@@ -557,11 +661,9 @@ class FusedJaxBackend:
     ``JaxBackend`` sharing the chromosome device buffer.
     """
 
-    B_BUCKETS = (256, 2048, 8192)
-    # finer ladder for the compacted range-1 relaunch: its row count is
-    # data-dependent (the range-0 failure fraction), so power-of-two-only
-    # buckets would waste up to half the second (3x-wider) scan
-    B1_BUCKETS = (256, 1024, 2048, 3072, 4096, 6144, 8192)
+    # chunk sizes: big chunks minimize tunnel round-trips (~30-40 ms
+    # fixed cost each); the ladder keeps padding waste <= ~25%
+    B_BUCKETS = (256, 2048, 4096, 8192, 12288, 16384, 24576, 32768)
 
     def __init__(self, settings, maxmm: np.ndarray, chrom_codes: np.ndarray,
                  chrom_name: str = None):
@@ -665,29 +767,31 @@ class FusedJaxBackend:
         return self.close_ends_decode(
             reads, self.close_ends_dispatch(reads, bp_start))
 
+    # chunking: one launch covers up to CHUNK rows; a smaller leading
+    # chunk starts the host decode stream early when the batch spills
+    CHUNK = 16384
+    LEAD = 8192
+
     def _chunk_plan(self, n: int) -> List[Tuple[int, int]]:
         """(lo, hi) chunks: a small leading chunk when the batch spills
-        over one bucket, so the host's decode stream starts after the
+        over one chunk, so the host's decode stream starts after the
         first small kernel instead of the first full-size one."""
-        big = self.B_BUCKETS[-1]
         if n == 0:
             return []
-        if n <= big:
+        if n <= self.CHUNK:
             return [(0, n)]
-        first = self.B_BUCKETS[-2]
-        plan = [(0, first)]
-        lo = first
+        plan = [(0, self.LEAD)]
+        lo = self.LEAD
         while lo < n:
-            plan.append((lo, min(lo + big, n)))
-            lo += big
+            plan.append((lo, min(lo + self.CHUNK, n)))
+            lo += self.CHUNK
         return plan
 
     def close_ends_dispatch(self, reads, bp_start: int):
-        """Async half of close_ends: uploads and launches every chunk's
-        RANGE-0 kernel, returns a token for ``close_ends_decode``.  The
-        range-1 kernels are dispatched later, per chunk, on the compacted
-        set of reads with no range-0 unique point (GetCloseEnd's loop
-        order, pindel.cpp:2537-2576)."""
+        """Async half of close_ends: ONE launch per chunk evaluates the
+        whole 4-attempt schedule (ranges merged on device with range-0
+        precedence, GetCloseEnd's loop order pindel.cpp:2537-2576);
+        returns a token for ``close_ends_decode``."""
         n = len(reads)
         results: List[Tuple[Optional[ChainDecode], int, bool]] = \
             [(None, -1, False)] * n
@@ -699,13 +803,12 @@ class FusedJaxBackend:
 
     def close_ends_decode(self, reads, token):
         results, pending = token
-        # stage 1: as each range-0 chunk lands, dispatch its compacted
-        # range-1 kernel, then decode the range-0 winners (host decode
-        # overlaps the remaining device work)
         for st in pending:
-            self._close_r0_finish(st, results)
+            self._close_finish(st, results)
         for st in pending:
-            self._close_r1_finish(st, results)
+            fut = st.pop("fut", None)
+            if fut is not None:
+                fut.result()
         return results
 
     def close_ends_decode_stream(self, reads, token):
@@ -714,9 +817,10 @@ class FusedJaxBackend:
         chunks while later close chunks still execute."""
         results, pending = token
         for st in pending:
-            self._close_r0_finish(st, results)
-        for st in pending:
-            self._close_r1_finish(st, results)
+            self._close_finish(st, results)
+            fut = st.pop("fut", None)
+            if fut is not None:
+                fut.result()
             yield st["base"], st["base"] + st["nb"], results
 
     def _close_dispatch(self, reads, base: int, results, bp_start: int):
@@ -748,10 +852,10 @@ class FusedJaxBackend:
             win[k, :, 1] = np.where(minus, minus_end, plus_end)
         w0 = self._w_bucket(max(int((win[0, :, 1] - win[0, :, 0]).max()), 1))
         w1 = self._w_bucket(max(int((win[1, :, 1] - win[1, :, 0]).max()), 1))
-        st = dict(dev=None, dev1=None, base=base, nb=nb, b=b, qlen=qlen,
+        qlen[nb:] = 1                      # padding rows: never active
+        st = dict(dev=None, base=base, nb=nb, b=b, qlen=qlen,
                   codes=codes, minus=minus, win=win, w0=w0, w1=w1,
                   lmax=lmax, bp_start=bp_start,
-                  ms=ms, tm=tm, thr=thr,
                   lsteps=_round_up(int(qlen[:nb].max()), 16))
         if w0 + lmax > SPACER:
             # huge mate-pair insert sizes make even the range-0 window
@@ -761,141 +865,92 @@ class FusedJaxBackend:
             for i in range(nb):
                 results[base + i] = (None, -1, True)
             return st
+        # range-1 windows can outgrow the spacer even when range 0 fits
+        # (3x wider): skip range 1 on device, fall back per failure
+        with_r1 = (w1 + lmax) <= SPACER
+        st["with_r1"] = with_r1
+        if int(isz.max()) > 0x1ffff or int(qlen.max()) > 0x3ff \
+                or int(thr.max()) > 0x3ff:
+            # bit-packed meta cannot hold this chunk (jumbo inserts);
+            # exact-semantics fallback
+            for i in range(nb):
+                results[base + i] = (None, -1, True)
+            return st
+        meta = _close_meta(pos, isz, qlen, ms, tm, thr, minus)
+        payload = _pack_payload(codes, meta)
         t1 = time.monotonic()
         g_timer.add("fused: pack close", t1 - t0)
         st["dev"] = self._close_call(
-            self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
-            jnp.asarray(minus), jnp.asarray(win.astype(np.int32)[0]),
-            jnp.asarray(ms), jnp.asarray(tm),
-            self.maxmm_dev, jnp.asarray(thr),
-            w=w0, lmax=lmax, mpm=self.mpm, bp_start=bp_start,
-            range1=False, lsteps=st["lsteps"])
-        _copy_to_host_async(st["dev"])
+            self.chrom_dev, jnp.asarray(payload), self.maxmm_dev,
+            w0=w0, w1=w1, lmax=lmax, mpm=self.mpm, bp_start=bp_start,
+            lsteps=st["lsteps"], with_r1=with_r1)
+        _copy_to_host_async([st["dev"]])
         g_timer.add("fused: dispatch close", time.monotonic() - t1)
         return st
 
-    def _close_r0_finish(self, st, results):
-        """Wait for a chunk's range-0 kernel, dispatch the compacted
-        range-1 kernel for its failures, then decode range-0 winners."""
-        from pindel_tpu.genome import SPACER
+    def _close_finish(self, st, results):
+        """Wait for a chunk's merged kernel output and decode winners of
+        both ranges (the decode itself runs on the -T pool when enabled,
+        overlapping the next chunk's device wait; the caller joins
+        st["fut"] before consuming results)."""
         from pindel_tpu.profiling import g_timer
         if st["dev"] is None:
             return
-        base, nb = st["base"], st["nb"]
+        base, nb, lmax = st["base"], st["nb"], st["lmax"]
         t1 = time.monotonic()
-        emit_bits, rep_w, winner, uniform = jax.device_get(st["dev"])
+        out = np.asarray(jax.device_get(st["dev"]))
         st["dev"] = None
         t2 = time.monotonic()
-        g_timer.add(f"fused: close wait w={st['w0']} b={st['b']}", t2 - t1)
-        winner = np.asarray(winner[:nb], np.int64)
-        fail = np.flatnonzero(winner == 255)
+        g_timer.add(
+            f"fused: close wait w={st['w0']}/{st['w1']} b={st['b']}",
+            t2 - t1)
+        nw = lmax // 32
+        emit = unpack_words(out[:nb, :nw], lmax)
+        rep = out[:nb, nw].astype(np.int64)
+        flags = out[:nb, nw + 1]
+        winner = (flags & 255).astype(np.int64)
+        uniform = ((flags >> 8) & 1).astype(bool)
+        if not st["with_r1"]:
+            # range-1 window outgrew the spacer: exact-semantics
+            # fallback for range-0 failures (reruns the whole schedule
+            # from the original read on host)
+            for i in np.flatnonzero(winner == 255).tolist():
+                results[base + i] = (None, -1, True)
 
-        # dispatch range 1 for the failure set before decoding winners
-        if fail.size:
-            if st["w1"] + st["lmax"] > SPACER:
-                # range-1 bucket outgrows the spacer padding: exact-
-                # semantics fallback for the failures (reruns the whole
-                # schedule from the original read on host)
-                for i in fail.tolist():
-                    results[base + i] = (None, -1, True)
-            else:
-                st["fail"] = fail
-                b1 = _b_bucket(int(fail.size), self.B1_BUCKETS)
-                pad = b1 - fail.size
-                sel = np.concatenate([fail, np.zeros(pad, np.int64)]) \
-                    if pad else fail
-                qlen1 = st["qlen"][sel]
-                codes1 = st["codes"][sel]
-                minus1 = st["minus"][sel]
-                win1 = st["win"][1][sel]
-                ms1, tm1, thr1 = st["ms"][sel], st["tm"][sel], st["thr"][sel]
-                if pad:                       # padding rows: never active
-                    qlen1[fail.size:] = 1
-                    ms1[fail.size:] = 0
-                    tm1[fail.size:] = 0
-                t3 = time.monotonic()
-                st["dev1"] = self._close_call(
-                    self.chrom_dev, jnp.asarray(codes1),
-                    jnp.asarray(qlen1), jnp.asarray(minus1),
-                    jnp.asarray(win1.astype(np.int32)),
-                    jnp.asarray(ms1), jnp.asarray(tm1),
-                    self.maxmm_dev, jnp.asarray(thr1),
-                    w=st["w1"], lmax=st["lmax"], mpm=self.mpm,
-                    bp_start=st["bp_start"], range1=True,
-                    lsteps=st["lsteps"])
-                _copy_to_host_async(st["dev1"])
-                st["b1"] = b1
-                st["qlen1"] = qlen1
-                st["codes1"] = codes1
-                st["minus1"] = minus1
-                st["win1"] = win1
-                g_timer.add("fused: dispatch close", time.monotonic() - t3)
-
-        ok = np.flatnonzero(winner != 255)
-        if ok.size:
-            def _decode_r0():
-                t3 = time.monotonic()
+        def _decode():
+            t3 = time.monotonic()
+            r0 = np.flatnonzero(winner < 2)
+            if r0.size:
                 self._decode_close_rows(
-                    st, results, ok, emit_bits[ok],
-                    np.asarray(rep_w, np.int64)[ok], winner[ok],
-                    np.asarray(uniform)[ok],
-                    st["qlen"], st["codes"], st["minus"], st["win"][0],
-                    st["w0"], flip=(winner[ok] == 1), att_base=0)
-                g_timer.add("fused: decode close", time.monotonic() - t3)
+                    st, results, r0, emit[r0], rep[r0], winner[r0],
+                    uniform[r0], st["qlen"], st["codes"], st["minus"],
+                    st["win"][0], st["w0"], flip=(winner[r0] == 1))
+            r1 = np.flatnonzero((winner == 2) | (winner == 3))
+            if r1.size:
+                self._decode_close_rows(
+                    st, results, r1, emit[r1], rep[r1], winner[r1],
+                    uniform[r1], st["qlen"], st["codes"], st["minus"],
+                    st["win"][1], st["w1"], flip=(winner[r1] == 2))
+            g_timer.add("fused: decode close", time.monotonic() - t3)
 
-            pool = self._decode_pool()
-            if pool is not None:
-                # overlap the chain decode with the next chunk's device
-                # wait; joined in _close_r1_finish before results are read
-                st["fut0"] = pool.submit(_decode_r0)
-            else:
-                _decode_r0()
+        pool = self._decode_pool()
+        if pool is not None:
+            st["fut"] = pool.submit(_decode)
+        else:
+            _decode()
 
-    def _close_r1_finish(self, st, results):
-        """Wait for a chunk's range-1 kernel (if any) and decode it."""
-        from pindel_tpu.profiling import g_timer
-        fut = st.pop("fut0", None)
-        if fut is not None:
-            fut.result()
-        if st.get("dev1") is None:
-            return
-        base = st["base"]
-        fail = st["fail"]
-        nf = fail.size
-        t1 = time.monotonic()
-        emit_bits, rep_w, winner, uniform = jax.device_get(st["dev1"])
-        st["dev1"] = None
-        t2 = time.monotonic()
-        g_timer.add(f"fused: close wait w={st['w1']} b={st['b1']}", t2 - t1)
-        winner = np.asarray(winner[:nf], np.int64)
-        ok = np.flatnonzero(winner != 255)
-        if ok.size:
-            # row k of the range-1 launch is read fail[k] of the chunk
-            self._decode_close_rows(
-                st, results, fail[ok], emit_bits[:nf][ok],
-                np.asarray(rep_w[:nf], np.int64)[ok], winner[ok] + 2,
-                np.asarray(uniform[:nf])[ok],
-                st["qlen1"], st["codes1"], st["minus1"], st["win1"],
-                st["w1"], flip=(winner[ok] == 0), att_base=2,
-                rows=ok)
-        g_timer.add("fused: decode close", time.monotonic() - t2)
-
-    def _decode_close_rows(self, st, results, idx, emit_bits, rep_w,
+    def _decode_close_rows(self, st, results, idx, emit, rep_w,
                            winner, uniform, qlen_a, codes_a, minus_a,
-                           win_a, wbuck: int, *, flip, att_base: int,
-                           rows=None):
+                           win_a, wbuck: int, *, flip):
         """Decode the winning attempts of a set of rows into results.
 
-        ``idx``: chunk-relative read indices these rows map to;
-        ``rows``: indices into the launch arrays (defaults to ``idx``,
-        which is correct for the range-0 launch over the whole chunk);
-        ``flip``: per-row 'query was the RC-flipped sequence' flags
-        (attempts 1 and 2 of the schedule); ``winner`` is already in
-        global attempt space (0..3).
+        ``idx``: chunk-relative read indices these rows map to; ``flip``:
+        per-row 'query was the RC-flipped sequence' flags (attempts 1
+        and 2 of the schedule); ``winner`` is in global attempt space
+        (0..3), with ``win_a``/``wbuck`` the winning range's geometry.
         """
         base, lmax = st["base"], st["lmax"]
-        if rows is None:
-            rows = idx
+        rows = idx
         n = idx.size
         qlen = qlen_a[rows]
         codes = codes_a[rows]
@@ -906,7 +961,7 @@ class FusedJaxBackend:
         ss = np.where(minus, end - tlen, start)
         # device-oriented query of the winning attempt, vectorized:
         # '-' reads use R(f) / C(f); '+' reads RC(f) / f
-        # (see _close_range_kernel)
+        # (see _close_kernel)
         cf = dna.RC[codes]
         li = np.arange(lmax)
         ridx = np.where(li < qlen[:, None],
@@ -919,7 +974,7 @@ class FusedJaxBackend:
         fcol = np.asarray(flip)[:, None]
         q_dev = np.where(mcol, np.where(fcol, cf, rf),
                          np.where(fcol, codes, rcf)).astype(np.int8)
-        chains = decode_chains(self.chrom_codes, emit_bits, rep_w, ss,
+        chains = decode_chains(self.chrom_codes, emit, rep_w, ss,
                                minus, q_dev, qlen,
                                np.full(n, wbuck, np.int64), lmax)
         winl = winner.tolist()
@@ -997,17 +1052,21 @@ class FusedJaxBackend:
             ws.append(self._w_bucket(2 * span))
         assert max(ws) + lmax <= SPACER, (ws, lmax)
         ms, tm, thr = self._budgets(qlen, nb)
+        assert int(qlen.max()) <= 0x3ff and int(close_max.max()) <= 0x3ff \
+            and int(init_max.max()) <= 0x3ff and int(thr.max()) <= 0x3ff, \
+            "read length exceeds far-meta bit packing"
+        meta = _far_meta(center, qlen, close_max, init_max, ms, tm, thr,
+                         comp_size)
+        payload = _pack_payload(codes, meta)
 
         t1 = time.monotonic()
         g_timer.add("fused: pack far", t1 - t0)
         dev = self._far_call(
-            self.chrom_dev, jnp.asarray(codes), jnp.asarray(qlen),
-            jnp.asarray(close_max), jnp.asarray(init_max),
-            jnp.asarray(wins.astype(np.int32)), jnp.asarray(ms),
-            jnp.asarray(tm), self.maxmm_dev, jnp.asarray(thr),
-            ws=tuple(ws), lmax=lmax, mpm=self.mpm, bp_start=bp_start,
+            self.chrom_dev, jnp.asarray(payload), self.maxmm_dev,
+            spans=tuple(spans), ws=tuple(ws), lmax=lmax, mpm=self.mpm,
+            bp_start=bp_start,
             lsteps=_round_up(int(qlen[:nb].max()), 16))
-        _copy_to_host_async(dev)
+        _copy_to_host_async([dev])
         g_timer.add("fused: dispatch far", time.monotonic() - t1)
         return dict(dev=dev, base=base, nb=nb, b=b, qlen=qlen, codes=codes,
                     wins=wins, ws=ws, lmax=lmax)
@@ -1017,18 +1076,20 @@ class FusedJaxBackend:
         base, nb, lmax = st["base"], st["nb"], st["lmax"]
         qlen, codes, wins, ws = st["qlen"], st["codes"], st["wins"], st["ws"]
         t2 = time.monotonic()
-        emit_bits, rep, uni, win_round, replaced = jax.device_get(st["dev"])
+        out = np.asarray(jax.device_get(st["dev"]))
         g_timer.add(f"fused: far wait ws={tuple(ws)} b={st['b']}",
                     time.monotonic() - t2)
         t2 = time.monotonic()
 
-        emit_bits = emit_bits[:nb]
-        rep = np.asarray(rep[:nb], np.int64)
-        uni = np.asarray(uni[:nb])
-        win_round = np.asarray(win_round[:nb], np.int64)
-        replaced = np.asarray(replaced[:nb])
+        nw = lmax // 32
+        emit = unpack_words(out[:nb, :nw], lmax)
+        rep = out[:nb, nw].astype(np.int64)
+        flags = out[:nb, nw + 1]
+        win_round = (flags & 255).astype(np.int64)
+        replaced = ((flags >> 8) & 1).astype(bool)
+        uni = ((flags >> 9) & 1).astype(bool)
 
-        rr = np.maximum(win_round, 0)
+        rr = np.where(win_round == 255, 0, win_round)
         wbuck = np.asarray(ws, np.int64)[rr]
         lane = rep // wbuck
         w_off = rep % wbuck
@@ -1038,7 +1099,7 @@ class FusedJaxBackend:
         ss = np.where(lane == 1, end - tlen, start)
         q_dev = np.where((lane == 1)[:, None], dna.RC[codes[:nb]],
                          codes[:nb]).astype(np.int8)
-        chains = decode_chains(self.chrom_codes, emit_bits, w_off, ss,
+        chains = decode_chains(self.chrom_codes, emit, w_off, ss,
                                lane == 1, q_dev, qlen[:nb], wbuck, lmax)
         lanel = (lane == 1).tolist()
         unil = uni.tolist()

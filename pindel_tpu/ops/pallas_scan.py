@@ -14,20 +14,30 @@ Mosaic cannot index the lane dimension at arbitrary dynamic offsets
 step l the kernel keeps a working copy that it ROLLS left by one lane
 per step (constant shift): ``work[:, :W]`` is then always the current
 step's reference window and ``qwork[:, :1]`` the current query base.
-The strict-match window is maintained with a small ring buffer of the
-last ``mpm`` per-step strict-mismatch vectors (leading-dim dynamic
-indexing is untiled and allowed), and per-step outputs are accumulated
-with one-hot selects instead of dynamic stores.
 
-Per block of BM candidate rows, ONE pass over the tile: per length
-step, update the cumulative mismatch count (gated by qlen so its final
-value is the whole-read count) and the rolling strict-window count, pack
-(level, w, strict) into one int32 key and take two lane-reductions — the
-min key (level, representative and strict flag of the first candidate at
-the min level) and the min over the rest (runner-up level for the
-uniqueness rule).  The CheckMismatches whole-read-fit bit is NOT scanned:
-it sits below the candidate-index bits, so it cannot change which
-candidate wins, and the caller gathers it from the returned final counts.
+Per block of BM candidate rows, ONE pass over the tile with a minimal
+per-step state (two [BM, W] arrays):
+
+* ``keybase`` carries the packed (cumulative-mismatch level << shift) |
+  (candidate index << 2) key incrementally — one shifted add per step
+  instead of rebuilding the key from a separate counter.  Dead lanes
+  (not seeded) START at the ``dead`` level instead of being clamped to
+  it per step: levels are then monotone counts rather than saturated
+  ones, which changes no emission decision because every rule that
+  consumes a level first tests it against budgets <= tsec < dead (see
+  _emit_rules) — only the ordering of already-dead candidates shifts,
+  and they can never win or influence a live min.
+* ``lastmm`` replaces the strict-mismatch ring buffer: the strict
+  window rule "a strict mismatch in the last mpm steps" is exactly
+  ``lastmm > l - mpm`` for the step index of the most recent strict
+  mismatch (recorded for steps >= 1 only).
+
+The per-length statistics are two lane-reductions over the packed key:
+the min (level, representative, strict flag at once) and the min over
+the rest (runner-up level for the uniqueness rule).  The CheckMismatches
+whole-read-fit bit is NOT scanned: it sits below the candidate-index
+bits, so it cannot change which candidate wins, and the caller gathers
+it from the returned final counts (``keybase >> shift``).
 """
 from __future__ import annotations
 
@@ -41,87 +51,56 @@ from jax.experimental.pallas import tpu as pltpu
 from pindel_tpu import dna
 
 BM = 128          # rows per grid cell (VMEM-bound at w=2048)
-BIG = 2 ** 30
+NEVER = -(1 << 20)   # lastmm sentinel: no strict mismatch yet
+MAXI = 2 ** 31 - 1   # runner-up placeholder for the min-key lanes
 
 
 def _kernel(tiles_ref, qq_ref, meta_ref, kmin_ref, k2_ref, cum_out_ref,
-            work_ref, qwork_ref, cum_ref, ws_ref, seed_ref,
-            ring_ref,
+            work_ref, qwork_ref, keybase_ref, lastmm_ref,
             *, w: int, lmax: int, mpm: int, shift: int, dead: int,
             lsteps: int):
     bm = BM
     vw = meta_ref[:, 0:1]
     qlen = meta_ref[:, 1:2]
-    tsec = meta_ref[:, 2:3]
     widx = jax.lax.broadcasted_iota(jnp.int32, (bm, w), 1)
     lidx = jax.lax.broadcasted_iota(jnp.int32, (bm, lmax), 1)
     # all compute in int32: v5e vregs have no native i8 compare/rotate
     work_ref[:] = tiles_ref[:].astype(jnp.int32)
     qwork_ref[:] = qq_ref[:].astype(jnp.int32)
     q0 = qwork_ref[:, 0:1]
-    seed_ref[:] = ((work_ref[:, :w] == q0).astype(jnp.int32)
-                   * (widx < vw).astype(jnp.int32)
-                   * (q0 != dna.N).astype(jnp.int32))
-
-    def current(l):
-        """(Matches()-mismatch, strict mismatch) as {0,1} int32.
-
-        Matches() rule: q==N matches iff ref!=N, else ref==q — so the
-        mismatch indicator is (ref != q) XOR (q == N), avoiding a
-        boolean select (mosaic rejects i1-select broadcasts).
-        """
-        ref = work_ref[:, :w]
-        qb = qwork_ref[:, 0:1]
-        mm = ((ref != qb).astype(jnp.int32)
-              ^ (qb == dna.N).astype(jnp.int32))
-        strict = (ref != qb).astype(jnp.int32) * (l > 0).astype(jnp.int32)
-        return mm, strict
-
-    def advance():
-        # left-rotate by one lane (pltpu.roll requires non-negative shift)
-        work_ref[:] = pltpu.roll(work_ref[:], work_ref.shape[1] - 1, 1)
-        qwork_ref[:] = pltpu.roll(qwork_ref[:], lmax - 1, 1)
-
-    # Single pass: per-length packed-key statistics.  The whole-read-fit
-    # bit (CheckMismatches) sits below the candidate-index bits in the
-    # key, so it never affects WHICH candidate wins — it is derived
-    # afterwards from the final cumulative counts (cum_out) by gathering
-    # at the winning candidate on the XLA side, saving a whole second
-    # scan over the tile.
-    cum_ref[:] = jnp.zeros((bm, w), jnp.int32)
-    ws_ref[:] = jnp.zeros((bm, w), jnp.int32)
-    ring_ref[:] = jnp.zeros((mpm, bm, w), jnp.int32)
+    seed = ((work_ref[:, :w] == q0) & (widx < vw) & (q0 != dna.N))
+    keybase_ref[:] = (jnp.where(seed, 0, jnp.int32(dead)) << shift) \
+        | (widx << 2)
+    lastmm_ref[:] = jnp.full((bm, w), NEVER, jnp.int32)
     kmin_ref[:] = jnp.zeros((bm, lmax), jnp.int32)
     k2_ref[:] = jnp.zeros((bm, lmax), jnp.int32)
 
     def body(l, _):
-        mm, strict = current(l)
-        # gate by qlen so the final cum equals the whole-read count
-        # (steps beyond qlen-1 can never emit, so keys are unaffected)
-        cum_ref[:] = cum_ref[:] + mm * ((l >= 1) & (l < qlen)).astype(
-            jnp.int32)
-        # rolling strict window over the last mpm steps via a ring buffer
-        slot = l % mpm
-        ws_ref[:] = ws_ref[:] + strict - ring_ref[slot]
-        ring_ref[slot] = strict
-        cum = cum_ref[:]
-        live = seed_ref[:] * (cum <= tsec).astype(jnp.int32)
-        lvl = cum * live + jnp.int32(dead) * (1 - live)
-        key = ((lvl << shift)
-               | ((ws_ref[:] > 0).astype(jnp.int32) << 1)
-               | (widx << 2))
+        ref = work_ref[:, :w]
+        qb = qwork_ref[:, 0:1]
+        d = ref != qb                              # strict mismatch
+        # Matches() rule (q==N matches iff ref!=N): mismatch = d ^ (q==N);
+        # counted for steps 1..qlen-1 only, so the final level is the
+        # whole-read count (CheckMismatches fit input)
+        mm = (d ^ (qb == dna.N)) & ((l >= 1) & (l < qlen))
+        keybase_ref[:] = keybase_ref[:] + (mm.astype(jnp.int32) << shift)
+        lastmm_ref[:] = jnp.where(
+            d, jax.lax.select(l >= 1, l, jnp.int32(NEVER)), lastmm_ref[:])
+        sbad = (lastmm_ref[:] > l - mpm).astype(jnp.int32) << 1
+        key = keybase_ref[:] + sbad
         kmin = jnp.min(key, axis=1, keepdims=True)          # [bm,1]
-        k2 = jnp.min(key + (key == kmin).astype(jnp.int32) * jnp.int32(BIG),
+        k2 = jnp.min(jnp.where(key == kmin, jnp.int32(MAXI), key),
                      axis=1, keepdims=True)
-        # one-hot column accumulate (no dynamic lane stores on TPU)
-        at_l = (lidx == l).astype(jnp.int32)
-        kmin_ref[:] = kmin * at_l + kmin_ref[:] * (1 - at_l)
-        k2_ref[:] = k2 * at_l + k2_ref[:] * (1 - at_l)
-        advance()
+        at_l = lidx == l
+        kmin_ref[:] = jnp.where(at_l, kmin, kmin_ref[:])
+        k2_ref[:] = jnp.where(at_l, k2, k2_ref[:])
+        # left-rotate by one lane (pltpu.roll requires non-negative shift)
+        work_ref[:] = pltpu.roll(work_ref[:], work_ref.shape[1] - 1, 1)
+        qwork_ref[:] = pltpu.roll(qwork_ref[:], lmax - 1, 1)
         return 0
 
     jax.lax.fori_loop(0, lsteps, body, 0)
-    cum_out_ref[:] = cum_ref[:]
+    cum_out_ref[:] = keybase_ref[:] >> shift
 
 
 @functools.partial(jax.jit,
@@ -133,7 +112,7 @@ def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
     """[R, T] int8 tiles -> (kmin, k2, cum_end) (see engine_fused):
     kmin/k2 [R, lmax] int32 packed keys, cum_end [R, w] int32 whole-read
     mismatch counts per candidate (for the deferred CheckMismatches fit
-    gather).
+    gather; dead-lane counts include the ``dead`` starting level).
 
     Rows are padded to a BM multiple with valid_w = 0 (no seeds, so their
     stats are dead and the caller slices them away).
@@ -143,10 +122,10 @@ def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
     assert t == w + lmax, (t, w, lmax)
     shift = _key_shift(w)
     dead = U8DEAD if lmax <= 255 else I16DEAD
-    # k2 adds BIG (2^30) to dead keys in int32, so the full key plus BIG
-    # must stay below 2^31 (ADVICE r2: the engine's SPACER guards cap w at
-    # 65536, but don't rely on that coupling here)
-    assert (dead << shift) + BIG < 2 ** 31, (w, lmax)
+    # levels are monotone counts from a base of 0 (seeded) or `dead`
+    # (unseeded), bounded by dead + lsteps; the full packed key must
+    # stay below int32
+    assert ((dead + lmax) << shift) + (1 << shift) < 2 ** 31, (w, lmax)
 
     rp = ((r + BM - 1) // BM) * BM
     if rp != r:
@@ -190,10 +169,8 @@ def pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
         scratch_shapes=[
             pltpu.VMEM((BM, t), jnp.int32),       # rolling tile copy
             pltpu.VMEM((BM, lmax), jnp.int32),    # rolling query copy
-            pltpu.VMEM((BM, w), jnp.int32),       # cum
-            pltpu.VMEM((BM, w), jnp.int32),       # strict-window count
-            pltpu.VMEM((BM, w), jnp.int32),       # seeded
-            pltpu.VMEM((mpm, BM, w), jnp.int32),  # strict history ring
+            pltpu.VMEM((BM, w), jnp.int32),       # packed key base
+            pltpu.VMEM((BM, w), jnp.int32),       # last strict mismatch
         ],
         interpret=interpret,
     )(tiles, qq, meta)

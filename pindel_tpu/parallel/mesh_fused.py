@@ -61,24 +61,24 @@ class MeshFusedBackend(ef.FusedJaxBackend):
                          chrom_name=chrom_name)
         self.mesh = mesh
         self.dp = mesh.shape["dp"]
-        assert all(b % self.dp == 0
-                   for b in self.B_BUCKETS + self.B1_BUCKETS), (
+        assert all(b % self.dp == 0 for b in self.B_BUCKETS), (
             "batch buckets must divide the dp axis")
         self._close_cache = {}
         self._far_cache = {}
 
     # the FusedJaxBackend chunk methods call these module-level jitted
-    # kernels through self — override with shard_map'd equivalents
+    # kernels through self — override with shard_map'd equivalents.
+    # Kernel IO is (chrom, payload, maxmm) -> one packed array:
+    # chrom/maxmm replicated, payload rows sharded over dp.
     def _close_call(self, *args, **static):
         key = tuple(sorted(static.items()))
         fn = self._close_cache.get(key)
         if fn is None:
-            body = partial(ef._close_range_kernel, **static)
+            body = partial(ef._close_kernel, **static)
             rep = P()          # chrom, maxmm: replicated
             dp = P("dp")
             fn = jax.jit(_shard(body, self.mesh,
-                                (rep, dp, dp, dp, dp, dp, dp, rep, dp),
-                                (dp, dp, dp, dp)))
+                                (rep, dp, rep), dp))
             self._close_cache[key] = fn
         return fn(*args)
 
@@ -90,7 +90,6 @@ class MeshFusedBackend(ef.FusedJaxBackend):
             rep = P()
             dp = P("dp")
             fn = jax.jit(_shard(body, self.mesh,
-                                (rep, dp, dp, dp, dp, dp, dp, dp, rep, dp),
-                                (dp, dp, dp, dp, dp)))
+                                (rep, dp, rep), dp))
             self._far_cache[key] = fn
         return fn(*args)

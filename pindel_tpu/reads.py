@@ -241,6 +241,14 @@ def clean_unique_points(ups: AnchorSet) -> AnchorSet:
 
 _PROTO_READ = SplitRead()
 
+# Class-level fallbacks for the default_factory fields so batch-parsed
+# instances need only their parsed fields in __dict__ (simple-field
+# defaults are already dataclass class attributes).  The shared empty
+# AnchorSet is immutable by convention — search code always REBINDS
+# up_close/up_far, never mutates in place.
+SplitRead.up_close = _PROTO_READ.up_close
+SplitRead.up_far = _PROTO_READ.up_far
+
 
 def _make_read(name: str, seq: str, meta: List[str]) -> SplitRead:
     """One record -> SplitRead via prototype clone (dataclass __init__
@@ -283,31 +291,30 @@ def read_pindel_file(path: str) -> Iterator[SplitRead]:
 
 
 def _read_pindel_batch(lines: List[str]) -> List[SplitRead]:
-    """Tight-loop record parser (one inlined _make_read per 3 lines;
-    dict-level field stores skip the attribute-descriptor path — parsing
-    is a per-run cost at WGS read counts)."""
+    """Tight-loop record parser (one inlined _make_read per 3 lines).
+
+    Only the parsed fields enter the instance dict; every other field
+    resolves through the class-level defaults (incl. the shared empty
+    AnchorSets) — parsing is a per-run cost at WGS read counts and the
+    30-field dict copy dominated it."""
     out: List[SplitRead] = []
     ap = out.append
-    proto = _PROTO_READ.__dict__
     new = SplitRead.__new__
     for k in range(0, len(lines), 3):
-        d = dict(proto)
-        d["name"] = lines[k]
         seq = lines[k + 1]
         if seq and not seq[-1].isalnum():     # setUnmatchedSeq trim
             while seq and not seq[-1].isalnum():
                 seq = seq[:-1]
-        d["seq"] = seq
         meta = lines[k + 2].split()
-        if len(meta) >= 6:
-            d["matched_d"] = meta[0]
-            d["frag_name"] = meta[1]
-            d["matched_rel_pos"] = int(meta[2])
-            d["ms"] = int(meta[3])
-            d["insert_size"] = int(meta[4])
-            d["tag"] = meta[5]
         r = new(SplitRead)
-        r.__dict__ = d
+        if len(meta) >= 6:
+            r.__dict__ = {
+                "name": lines[k], "seq": seq,
+                "matched_d": meta[0], "frag_name": meta[1],
+                "matched_rel_pos": int(meta[2]), "ms": int(meta[3]),
+                "insert_size": int(meta[4]), "tag": meta[5]}
+        else:
+            r.__dict__ = {"name": lines[k], "seq": seq}
         ap(r)
     return out
 

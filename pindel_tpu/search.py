@@ -233,7 +233,7 @@ class Searcher:
                 fallback.append(r)       # rerun full schedule from original
                 continue
             if winner in (1, 2):         # persistent setUnmatchedSeq flip
-                r.seq = dna.decode(dna.revcomp(r.seq_codes()))
+                r.seq = dna.flip_rc(r.seq)
             if chain is not None:
                 dm = r.matched_d == MINUS
                 r.up_close = _anchorset_from_chain(chain, dm, not dm,
@@ -256,7 +256,7 @@ class Searcher:
                 break
             if flip:
                 for r in active:
-                    r.seq = dna.decode(dna.revcomp(r.seq_codes()))
+                    r.seq = dna.flip_rc(r.seq)
             batch_lanes = [[close_end_lane(chrom, r, range_index)]
                            for r in active]
             budgets = [self.budget(r) for r in active]
