@@ -560,9 +560,61 @@ def _far_kernel(chrom, payload, maxmm,
         [words, st_rep[:, None], flags[:, None]], axis=1)
 
 
+# ------------------------------------------------- explicit-window kernel
+# meta words for _far_win_kernel: [0] window start; [1] window end;
+# [2] qlen; [3] ms | tm<<8 | thr<<16
+FW_WORDS = 4
+
+
+def _far_win_kernel(chrom, payload, maxmm,
+                    *, w: int, lmax: int, mpm: int, bp_start: int,
+                    lsteps: int = 0):
+    """One both-strand far-end search round over EXPLICIT per-read
+    windows — the BreakDancer/RP evidence-window path
+    (getCorrespondingSearchWindowCluster -> SearchFarEndAtPos,
+    farend_searcher.cpp:46-103) for the common single-window case.
+    Same lane construction and emission semantics as one _far_kernel
+    round; replacement against prior results happens on host
+    (NewUPFarIsBetter, _far_round in search.py).
+
+    Output: ONE int32 array [B, lmax//32 + 2]: emission words, rep,
+    flags = any_emit | uniform << 1.
+    """
+    codes, meta = _unpack_payload(payload, lmax, FW_WORDS)
+    b = codes.shape[0]
+    start = meta[:, 0]
+    end = meta[:, 1]
+    qlen = meta[:, 2]
+    ms = meta[:, 3] & 0xff
+    tm = (meta[:, 3] >> 8) & 0xff
+    thr = (meta[:, 3] >> 16) & 0x3ff
+    q0 = codes
+    q1 = _complement(codes)
+    qq = jnp.stack([q0, q1], axis=1)
+    slice_start = jnp.stack([start, end - (w + lmax)], axis=1)
+    reverse = jnp.stack([jnp.zeros((b,), bool), jnp.ones((b,), bool)],
+                        axis=1)
+    valid = jnp.clip(end - start, 0, w)
+    valid_w = jnp.stack([valid, valid], axis=1)
+    stats = _scan_lanes(chrom, slice_start, reverse, qq, valid_w,
+                        qlen, ms, tm, thr,
+                        w=w, lmax=lmax, g=1, nlg=2, mpm=mpm,
+                        lsteps=lsteps)
+    emit, rep_last, uniform, any_emit, _last = _emit_rules(
+        *stats, reverse, qlen, ms, tm, maxmm,
+        w=w, lmax=lmax, g=1, nlg=2, mpm=mpm, bp_start=bp_start)
+    words = _pack_words(emit[:, 0])
+    flags = (any_emit[:, 0].astype(jnp.int32)
+             | (uniform[:, 0].astype(jnp.int32) << 1))
+    return jnp.concatenate(
+        [words, rep_last[:, 0:1], flags[:, None]], axis=1)
+
+
 _close_kernel_jit = partial(jax.jit, static_argnames=(
     "w0", "w1", "lmax", "mpm", "bp_start", "lsteps",
     "with_r1"))(_close_kernel)
+_far_win_kernel_jit = partial(jax.jit, static_argnames=(
+    "w", "lmax", "mpm", "bp_start", "lsteps"))(_far_win_kernel)
 _far_kernel_jit = partial(jax.jit, static_argnames=(
     "spans", "ws", "lmax", "mpm", "bp_start", "lsteps"))(_far_kernel)
 
@@ -703,7 +755,117 @@ class FusedJaxBackend:
 
     # legacy per-lane API (BreakDancer windows, odd shapes)
     def run(self, batch_lanes, bp_start, max_snps, tsec_minus):
-        return self._legacy.run(batch_lanes, bp_start, max_snps, tsec_minus)
+        """The canonical evidence-window shape — one (forward, backward)
+        lane pair over a single same-chromosome window per read
+        (far_end_lanes in search.py) — takes the packed-IO
+        _far_win_kernel; anything else (multi-window clusters, foreign
+        chromosomes, close-end fallback lanes) delegates to the legacy
+        per-lane backend."""
+        n = len(batch_lanes)
+        if n == 0:
+            return []
+        from pindel_tpu.genome import SPACER
+        canonical = all(
+            len(lanes) == 2 and lanes[0].forward and not lanes[1].forward
+            and lanes[0].chr_name == self.chrom_name
+            and lanes[1].chr_name == self.chrom_name
+            and lanes[0].start == lanes[1].start
+            and lanes[0].end == lanes[1].end
+            and lanes[0].query.shape[0] <= 0x3ff
+            for lanes in batch_lanes)
+        if not canonical:
+            return self._legacy.run(batch_lanes, bp_start, max_snps,
+                                    tsec_minus)
+        if n > self.CHUNK:
+            out = []
+            for lo in range(0, n, self.CHUNK):
+                hi = lo + self.CHUNK
+                out.extend(self.run(batch_lanes[lo:hi], bp_start,
+                                    max_snps[lo:hi], tsec_minus[lo:hi]))
+            return out
+        from pindel_tpu.profiling import g_timer
+        t0 = time.monotonic()
+        b = _b_bucket(n, self.B_BUCKETS)
+        qlen = np.zeros(b, np.int32)
+        qlen[:n] = [lanes[0].query.shape[0] for lanes in batch_lanes]
+        qlen[n:] = 1
+        lmax = _round_up(max(int(qlen.max()), 8), 128)
+        codes = np.full((b, lmax), dna.N, np.int8)
+        start = np.zeros(b, np.int64)
+        end = np.zeros(b, np.int64)
+        for i, lanes in enumerate(batch_lanes):
+            q = lanes[0].query
+            codes[i, :q.shape[0]] = q
+            start[i] = lanes[0].start
+            end[i] = lanes[0].end
+        w = self._w_bucket(max(int((end - start).max()), 1))
+        if w + lmax > SPACER:
+            return self._legacy.run(batch_lanes, bp_start, max_snps,
+                                    tsec_minus)
+        ms = np.zeros(b, np.int32)
+        ms[:n] = max_snps
+        tm = np.zeros(b, np.int32)
+        tm[:n] = tsec_minus
+        thr = np.zeros(b, np.int32)
+        thr[:n] = np.ceil(np.float32(
+            qlen[:n].astype(np.float64) * np.float64(self.rate))
+        ).astype(np.int32)
+        meta = np.zeros((b, FW_WORDS), np.int32)
+        meta[:, 0] = start
+        meta[:, 1] = end
+        meta[:, 2] = qlen
+        meta[:, 3] = (ms | (tm.astype(np.int64) << 8)
+                      | (thr.astype(np.int64) << 16))
+        payload = _pack_payload(codes, meta)
+        lsteps = _round_up(int(qlen[:n].max()), 16)
+        t1 = time.monotonic()
+        g_timer.add("fused: pack bdwin", t1 - t0)
+        out_dev = self._far_win_call(
+            self.chrom_dev, jnp.asarray(payload), self.maxmm_dev,
+            w=w, lmax=lmax, mpm=self.mpm, bp_start=bp_start,
+            lsteps=lsteps)
+        outarr = np.asarray(jax.device_get(out_dev))
+        t2 = time.monotonic()
+        g_timer.add(f"fused: bdwin wait w={w} b={b}", t2 - t1)
+        nw = lmax // 32
+        emit = unpack_words(outarr[:n, :nw], lmax)
+        rep = outarr[:n, nw].astype(np.int64)
+        flags = outarr[:n, nw + 1]
+        any_emit = (flags & 1).astype(bool)
+        uni = ((flags >> 1) & 1).astype(bool)
+        lane = rep // w
+        w_off = rep % w
+        ss = np.where(lane == 1, end[:n] - (w + lmax), start[:n])
+        q_dev = np.where((lane == 1)[:, None], dna.RC[codes[:n]],
+                         codes[:n]).astype(np.int8)
+        chains = decode_chains(self.chrom_codes, emit, w_off, ss,
+                               lane == 1, q_dev, qlen[:n],
+                               np.full(n, w, np.int64), lmax)
+        from pindel_tpu.reads import AnchorSet
+        from pindel_tpu.search import _anchorset_from_chain
+        results: List = [None] * n
+        legacy_rows: List[int] = []
+        for i in range(n):
+            ch = chains[i]
+            if not any_emit[i] or ch is None:
+                results[i] = (AnchorSet.empty(), 0)
+            elif not uni[i]:
+                # non-uniform chain: exact per-length reconstruction via
+                # the legacy per-lane path
+                legacy_rows.append(i)
+            else:
+                lm = bool(lane[i])
+                results[i] = (_anchorset_from_chain(
+                    ch, lm, lm, self.chrom_name), ch.full_mm)
+        if legacy_rows:
+            sub = self._legacy.run(
+                [batch_lanes[i] for i in legacy_rows], bp_start,
+                [max_snps[i] for i in legacy_rows],
+                [tsec_minus[i] for i in legacy_rows])
+            for i, res in zip(legacy_rows, sub):
+                results[i] = res
+        g_timer.add("fused: decode bdwin", time.monotonic() - t2)
+        return results
 
     # kernel dispatch points (overridden by the mesh backend)
     def _close_call(self, *args, **static):
@@ -711,6 +873,9 @@ class FusedJaxBackend:
 
     def _far_call(self, *args, **static):
         return _far_kernel_jit(*args, **static)
+
+    def _far_win_call(self, *args, **static):
+        return _far_win_kernel_jit(*args, **static)
 
     @staticmethod
     def _w_bucket(width: int) -> int:

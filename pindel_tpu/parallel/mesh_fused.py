@@ -65,6 +65,7 @@ class MeshFusedBackend(ef.FusedJaxBackend):
             "batch buckets must divide the dp axis")
         self._close_cache = {}
         self._far_cache = {}
+        self._far_win_cache = {}
 
     # the FusedJaxBackend chunk methods call these module-level jitted
     # kernels through self — override with shard_map'd equivalents.
@@ -92,4 +93,16 @@ class MeshFusedBackend(ef.FusedJaxBackend):
             fn = jax.jit(_shard(body, self.mesh,
                                 (rep, dp, rep), dp))
             self._far_cache[key] = fn
+        return fn(*args)
+
+    def _far_win_call(self, *args, **static):
+        key = tuple(sorted(static.items()))
+        fn = self._far_win_cache.get(key)
+        if fn is None:
+            body = partial(ef._far_win_kernel, **static)
+            rep = P()
+            dp = P("dp")
+            fn = jax.jit(_shard(body, self.mesh,
+                                (rep, dp, rep), dp))
+            self._far_win_cache[key] = fn
         return fn(*args)
