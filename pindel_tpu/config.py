@@ -77,6 +77,10 @@ class Settings:
     device_batch_size: int = 8192         # reads per kernel launch chunk
     max_read_length: int = MAX_READ_LENGTH
     profile: bool = False                 # --profile: sub-phase timer dump
+    # streaming byte-offset intake for plain-text -p/-P inputs: memory
+    # stays O(window) instead of the whole materialized read set
+    # (textindex.py); gz/irregular inputs fall back to in-RAM loading
+    stream_text_input: bool = True
 
     def __post_init__(self):
         if self.additional_mismatch < 1:

@@ -715,7 +715,8 @@ class FusedJaxBackend:
 
     # chunk sizes: big chunks minimize tunnel round-trips (~30-40 ms
     # fixed cost each); the ladder keeps padding waste <= ~25%
-    B_BUCKETS = (256, 2048, 4096, 8192, 12288, 16384, 24576, 32768)
+    B_BUCKETS = (256, 2048, 4096, 8192, 12288, 16384, 24576, 32768,
+                 49152, 65536)
 
     def __init__(self, settings, maxmm: np.ndarray, chrom_codes: np.ndarray,
                  chrom_name: str = None):
@@ -933,9 +934,11 @@ class FusedJaxBackend:
             reads, self.close_ends_dispatch(reads, bp_start))
 
     # chunking: one launch covers up to CHUNK rows; a smaller leading
-    # chunk starts the host decode stream early when the batch spills
-    CHUNK = 16384
-    LEAD = 8192
+    # chunk starts the host decode stream early when the batch spills.
+    # Each chunk costs ~4 tunnel round-trips (~40 ms each) regardless of
+    # size, so chunks stay as big as the ladder allows.
+    CHUNK = 32768
+    LEAD = 12288
 
     def _chunk_plan(self, n: int) -> List[Tuple[int, int]]:
         """(lo, hi) chunks: a small leading chunk when the batch spills

@@ -146,6 +146,7 @@ class Pipeline:
         self.input_reads: List[SplitRead] = []
         self._consumed_chroms: set = set()
         self._input_loader = None
+        self._stream = None      # streaming text intake (textindex.py)
         self.spool = None        # multi-host window spool (parallel/multihost)
         self.bam_entries: List = []              # BAM mode (-i)
         self._bam_readers: Dict[str, object] = {}
@@ -165,8 +166,30 @@ class Pipeline:
         return bool(self.bam_entries)
 
     # ------------------------------------------------------------------ io
+    def _try_stream(self, files: List[str]) -> bool:
+        """Streaming byte-offset intake for plain-text inputs: memory is
+        O(16 B/read index + one window's reads) instead of the whole
+        materialized read set (textindex.py; VERDICT r3 item 8).  gz or
+        irregular files fall back to the in-RAM loader."""
+        if not self.settings.stream_text_input \
+                or any(f.endswith(".gz") for f in files):
+            return False
+        from pindel_tpu.textindex import PindelTextIndex
+        try:
+            with g_timer.phase("intake: index pindel text"):
+                self._stream = PindelTextIndex(files)
+        except ValueError:
+            self._stream = None
+            return False
+        self.input_reads = []
+        self._read_index = {}
+        self._input_max_pos = self._stream.max_pos
+        return True
+
     def load_pindel_input(self, path: str) -> None:
         self._input_loader = lambda: self.load_pindel_input(path)
+        if self._try_stream([path]):
+            return
         with g_timer.phase("intake: parse pindel text"):
             self.input_reads = list(read_pindel_file(path))
         with g_timer.phase("intake: index reads"):
@@ -193,6 +216,8 @@ class Pipeline:
         if not files:
             raise ValueError(f"no samples in pindel config file '{path}'")
         self._input_loader = lambda: self.load_pindel_config(path)
+        if self._try_stream(files):
+            return
         self.input_reads = []
         for f in files:
             self.input_reads.extend(read_pindel_file(f))
@@ -228,6 +253,8 @@ class Pipeline:
         for fh in self._outputs.values():
             fh.close()
         self._outputs.clear()
+        if self._stream is not None:
+            self._stream.close()
 
     # -------------------------------------------------------------- intake
     def _reload_input_if_consumed(self, chr_name: str) -> None:
@@ -237,6 +264,8 @@ class Pipeline:
         ranges, or a repeated run()) could hand a read out twice.  In that
         rare case reload pristine reads from disk — the reference gets the
         same effect by re-reading the file every window."""
+        if self._stream is not None:
+            return           # streaming re-parses pristine reads anyway
         if chr_name not in self._consumed_chroms:
             return
         if self._input_loader is not None:
@@ -272,6 +301,15 @@ class Pipeline:
         # observationally identical at every finished() check
         self.g_max_pos = self._input_max_pos
         taken: List[SplitRead] = []
+        if self._stream is not None:
+            taken = self._stream.window_reads(
+                chrom.name, window.current_start, window.current_end)
+            for r in taken:
+                if r.matched_rel_pos > chrom.biol_size:
+                    r.matched_rel_pos = chrom.biol_size
+                if r.matched_rel_pos < 0:
+                    r.matched_rel_pos = 0
+            return taken
         entry = getattr(self, "_read_index", {}).get(chrom.name)
         if entry is None:
             return taken
