@@ -552,15 +552,32 @@ def _apply_process(i: int, j: int, pos_a, pos_a1, pos_b, pos_b1,
     return changed
 
 
+_rp_lib = None
+
+
+def _native_rp():
+    global _rp_lib
+    if _rp_lib is None:
+        import ctypes
+
+        from pindel_tpu import native
+        lib = native.load("ptrp", ["rp.cpp"], link=())
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+        lib.ptrp_modify.argtypes = [ctypes.c_int64, i64p, i64p, i64p,
+                                    i64p, u8p, u8p, u8p, i64p, i64p]
+        lib.ptrp_modify.restype = None
+        _rp_lib = lib
+    return _rp_lib
+
+
 def modify_rp(reads: List[RPRead]) -> None:
     """ModifyRP (bddata.cpp:386-436) — sequential (-T 1) semantics.
 
-    The reference's O(n^2) nested object loop is restructured as, per
-    ``first``, one vectorized reciprocal-overlap pass over the seconds
-    sharing its strand pair; when a second mutates ``first`` the
-    remaining seconds are re-tested with the updated coordinates, so the
-    merge results are identical to the scalar loop (which sees updates
-    immediately)."""
+    The pairwise merge loop is inherently sequential (a merge updates
+    ``first`` mid-scan), so it runs in native code with the reference's
+    exact loop structure (native/rp.cpp); a vectorized Python
+    re-statement of the same order serves as fallback."""
     if not reads:
         return
     reads.sort(key=lambda r: (-r.original_pos_a, -r.original_pos_b))
@@ -576,6 +593,18 @@ def modify_rp(reads: List[RPRead]) -> None:
     # from a second that itself passed the span test)
     span_ok = ((np.abs(pos_a - pos_a1) <= 1000)
                & (np.abs(pos_b - pos_b1) <= 1000))
+    try:
+        lib = _native_rp()
+    except Exception:
+        lib = None
+    if lib is not None:
+        lo = np.empty(n, np.int64)
+        hi = np.empty(n, np.int64)
+        lib.ptrp_modify(n, pos_a, pos_a1, pos_b, pos_b1,
+                        da.astype(np.uint8), db.astype(np.uint8),
+                        span_ok.astype(np.uint8), lo, hi)
+        _writeback_rp(reads, pos_a, pos_a1, pos_b, pos_b1)
+        return
     groups = {}
     for key in ((False, False), (False, True), (True, False), (True, True)):
         groups[key] = np.flatnonzero((da == key[0]) & (db == key[1]))
@@ -587,30 +616,69 @@ def modify_rp(reads: List[RPRead]) -> None:
     mid_b = (pos_b + pos_b1) // 2
     lo = np.minimum(mid_a, mid_b)
     hi = np.maximum(mid_a, mid_b)
-    for i in range(n):
-        if not span_ok[i]:
+    BLOCK = 256
+
+    def refresh_interval(i: int) -> None:
+        ma = (int(pos_a[i]) + int(pos_a1[i])) // 2
+        mb = (int(pos_b[i]) + int(pos_b1[i])) // 2
+        lo[i] = min(ma, mb)
+        hi[i] = max(ma, mb)
+
+    def scan_first(i: int, cand: np.ndarray, start_j: int):
+        """Apply merges of reads[i] against candidate seconds >= start_j
+        (ascending); returns the second AFTER the first merge, or None
+        when no merge fired (the scalar loop re-tests remaining seconds
+        with updated coordinates after every merge)."""
+        cand = cand[cand >= start_j]
+        hits = np.flatnonzero(_overlap_mask(i, cand, *arrays, span_ok))
+        for h in hits.tolist():
+            j = int(cand[h])
+            if _apply_process(i, j, *arrays, da, db):
+                refresh_interval(i)
+                return j + 1
+        return None
+
+    for key, J in groups.items():
+        if J.size == 0:
             continue
-        J = groups[(bool(da[i]), bool(db[i]))]
-        start = 0
-        while start < J.size:
-            sub = J[start:]
-            cand = sub[(hi[sub] >= lo[i] - 200) & (lo[sub] <= hi[i] + 200)]
-            hits = np.flatnonzero(_overlap_mask(i, cand, *arrays, span_ok))
-            advanced = None
-            for h in hits.tolist():
-                j = int(cand[h])
-                if _apply_process(i, j, *arrays, da, db):
-                    # reads[i]'s coords changed: refresh its interval and
-                    # re-test the seconds after j with the new values
-                    ma = (int(pos_a[i]) + int(pos_a1[i])) // 2
-                    mb = (int(pos_b[i]) + int(pos_b1[i])) // 2
-                    lo[i] = min(ma, mb)
-                    hi[i] = max(ma, mb)
-                    advanced = int(np.searchsorted(sub, j, "right")) + start
-                    break
-            if advanced is None:
-                break
-            start = advanced
+        for bs in range(0, J.size, BLOCK):
+            bidx = J[bs:bs + BLOCK]
+            # block prefilter: [firsts, seconds] interval-intersection
+            # matrix (one numpy pass instead of two per first)
+            M = ((hi[J][None, :] >= lo[bidx][:, None] - 200)
+                 & (lo[J][None, :] <= hi[bidx][:, None] + 200))
+            # seconds mutated after M was built (as earlier firsts) may
+            # have drifted into overlap — test them exactly as well
+            mutated_since: List[int] = []
+            for k in range(bidx.size):
+                i = int(bidx[k])
+                if not span_ok[i]:
+                    continue
+                cand = J[M[k]]
+                if mutated_since:
+                    cand = np.union1d(cand,
+                                      np.asarray(mutated_since, np.int64))
+                start = 0
+                mutated_i = False
+                while True:
+                    nxt = scan_first(i, cand, start)
+                    if nxt is None:
+                        break
+                    mutated_i = True
+                    start = nxt
+                    # i's interval changed: the prefilter row is stale,
+                    # re-derive candidates from the full group
+                    cand = J[(hi[J] >= lo[i] - 200)
+                             & (lo[J] <= hi[i] + 200)]
+                if mutated_i:
+                    mutated_since.append(i)
+    _writeback_rp(reads, pos_a, pos_a1, pos_b, pos_b1)
+
+
+def _writeback_rp(reads: List[RPRead], pos_a, pos_a1, pos_b, pos_b1
+                  ) -> None:
+    """SoA results back into the objects + the post-merge adjustments of
+    ModifyRP's tail (bddata.cpp:424-435)."""
     for k, r in enumerate(reads):
         r.pos_a = int(pos_a[k])
         r.pos_a1 = int(pos_a1[k])

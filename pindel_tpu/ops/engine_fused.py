@@ -31,12 +31,13 @@ whole per-window search into two launches:
   NumPy oracle (ops/search_np.py) via the Searcher.
 
 The per-length scan keeps the dense candidate semantics proven in
-ops/engine_jax.py but shrinks the carry from 13 B/candidate (two int32
-cumulatives + an int8 history ring for the strict-match window) to
-3 B/candidate: uint8 cumulative mismatches (exact while padded query
-length <= 255; int16 above), a uint8 whole-read snapshot, and a uint8
-rolling count of strict mismatches in the last ``mpm`` steps, maintained
-by re-deriving the expiring step from the tile instead of carrying a ring.
+ops/engine_jax.py with a two-word carry per candidate: the packed
+(level << shift | index) key base, maintained by one shifted add per
+step, and the step index of the last strict mismatch (the rolling
+strict-window rule "a strict mismatch within mpm steps" is
+``lastmm > l - mpm``).  Dead lanes START at the `dead` level instead of
+being clamped per step — levels become monotone counts, which changes
+no emission decision (see pallas_scan.py).
 """
 from __future__ import annotations
 
@@ -937,8 +938,8 @@ class FusedJaxBackend:
     # chunk starts the host decode stream early when the batch spills.
     # Each chunk costs ~4 tunnel round-trips (~40 ms each) regardless of
     # size, so chunks stay as big as the ladder allows.
-    CHUNK = 32768
-    LEAD = 12288
+    CHUNK = 16384
+    LEAD = 8192
 
     def _chunk_plan(self, n: int) -> List[Tuple[int, int]]:
         """(lo, hi) chunks: a small leading chunk when the batch spills

@@ -197,3 +197,53 @@ def test_rp_discovery_from_bam(tmp_path):
     cluster = bd.cluster_for(SPACER + 10_050)
     assert cluster, "expected a BD search window for the RP cluster"
     assert any(s <= SPACER + 20_000 <= e for _, s, e in cluster)
+
+
+def test_modify_rp_native_matches_python_fallback():
+    """The native merge core (native/rp.cpp) and the vectorized Python
+    fallback must produce identical post-merge coordinates."""
+    import numpy as np
+
+    from pindel_tpu import bddata as bd
+
+    def mk(rng, n):
+        reads = []
+        for k in range(n):
+            base = int(rng.integers(1000, 200_000))
+            d = int(rng.integers(50, 2500))
+            r = bd.RPRead(
+                chr_name_a="chrT", chr_name_b="chrT",
+                da=rng.choice(["+", "-"]), db=rng.choice(["+", "-"]),
+                pos_a=base, pos_b=base + d,
+                original_pos_a=base, original_pos_b=base + d,
+                insert_size=int(rng.integers(150, 600)),
+                read_length=int(rng.integers(36, 101)),
+                tag="s0", tags=["s0"])
+            reads.append(r)
+        return reads
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = int(rng.integers(5, 160))
+        seed_reads = mk(rng, n)
+        import copy
+        a = [copy.copy(r) for r in seed_reads]
+        b = [copy.copy(r) for r in seed_reads]
+        bd.modify_rp(a)                       # native path
+        saved = bd._rp_lib
+        try:
+            bd._rp_lib = None
+
+            def _fail():
+                raise RuntimeError("force python fallback")
+            orig = bd._native_rp
+            bd._native_rp = _fail
+            bd.modify_rp(b)                   # python fallback
+        finally:
+            bd._native_rp = orig
+            bd._rp_lib = saved
+        for ra, rb in zip(a, b):
+            assert (ra.pos_a, ra.pos_a1, ra.pos_b, ra.pos_b1,
+                    ra.visited) == \
+                   (rb.pos_a, rb.pos_a1, rb.pos_b, rb.pos_b1, rb.visited), \
+                trial
