@@ -24,6 +24,12 @@ def main() -> int:
         print(f"PERF GATE FAILED: vs_baseline {result['vs_baseline']} "
               f"< floor {floor}", file=sys.stderr)
         return 1
+    floor2 = budget.get("min_scene2_vs_baseline")
+    if floor2 is not None and result.get("scene2_vs_baseline", 0) < floor2:
+        print(f"PERF GATE FAILED: scene2_vs_baseline "
+              f"{result.get('scene2_vs_baseline')} < floor {floor2}",
+              file=sys.stderr)
+        return 1
     print(f"perf gate ok: vs_baseline {result['vs_baseline']} >= {floor}")
     return 0
 
