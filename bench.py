@@ -154,15 +154,21 @@ def time_reference(args: list, workdir: str) -> float:
 def run_ours(fa: str, reads_txt: str, out_prefix: str) -> float:
     from pindel_tpu.config import Settings
     from pindel_tpu.pipeline import run_files
+    from pindel_tpu.profiling import g_fallback
     s = Settings()
     s.analyze_li = True                   # -l
     s.analyze_bp = True                   # -k
     s.report_close_mapped_reads = True    # -s
     s.num_threads = NUM_THREADS           # -T
+    g_fallback.reset()
     t0 = time.time()
     run_files(fa, reads_txt, out_prefix, settings=s,
               backend="fused")
-    return time.time() - t0
+    dt = time.time() - t0
+    if g_fallback.fallback:
+        print(f"fused fallback: {g_fallback.fallback}/{g_fallback.total} "
+              f"reads re-ran on the host oracle", file=sys.stderr)
+    return dt
 
 
 def run_ours_bam(fa: str, cfg: str, bd: str, out_prefix: str) -> float:
@@ -258,12 +264,14 @@ def main() -> int:
         print(f"scene2 failed: {e!r}", file=sys.stderr)
         s2 = {"scene2_error": str(e)[:120]}
 
+    from pindel_tpu.profiling import g_fallback
     value = n_reads / warm_dt
     baseline = n_reads / ref_dt
     print(json.dumps({"metric": "split-reads/s/chip",
                       "value": round(value, 2),
                       "unit": "reads/s",
                       "vs_baseline": round(value / baseline, 3),
+                      "fallback_ratio": round(g_fallback.ratio(), 5),
                       **s2}))
     return 0
 

@@ -859,6 +859,8 @@ class FusedJaxBackend:
                 lm = bool(lane[i])
                 results[i] = (_anchorset_from_chain(
                     ch, lm, lm, self.chrom_name), ch.full_mm)
+        from pindel_tpu.profiling import g_fallback
+        g_fallback.add(n, len(legacy_rows))
         if legacy_rows:
             sub = self._legacy.run(
                 [batch_lanes[i] for i in legacy_rows], bp_start,

@@ -148,3 +148,30 @@ class ReadStats:
 
 
 g_read_stats = ReadStats()
+
+
+class FallbackStats:
+    """Fused-engine fallback counters: reads whose device result could not
+    be decoded exactly (non-uniform chains, jumbo metadata) re-run on the
+    exact-semantics NumPy oracle.  The fused design assumes this is rare
+    (~0% on uniform scenes); golden tests assert the measured ratio so a
+    scene shape that breaks chain uniformity becomes a test failure, not
+    a silent perf cliff (VERDICT r4 item 9)."""
+
+    def __init__(self) -> None:
+        self.total = 0
+        self.fallback = 0
+
+    def add(self, total: int, fallback: int) -> None:
+        self.total += total
+        self.fallback += fallback
+
+    def reset(self) -> None:
+        self.total = 0
+        self.fallback = 0
+
+    def ratio(self) -> float:
+        return self.fallback / self.total if self.total else 0.0
+
+
+g_fallback = FallbackStats()

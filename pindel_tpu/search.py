@@ -241,6 +241,8 @@ class Searcher:
                 r.used = False
                 r.close_end_mismatch = chain.full_mm
         g_timer.add("search: consume close", time.monotonic() - t0)
+        from pindel_tpu.profiling import g_fallback
+        g_fallback.add(len(active), len(fallback))
         if fallback:
             self._map_close_rounds(chrom, fallback, self._oracle())
 
@@ -378,6 +380,7 @@ class Searcher:
         self._consume_far_results(chrom, active, results)
 
     def _consume_far_results(self, chrom: Chromosome, active, results):
+        from pindel_tpu.profiling import g_fallback
         fallback: List[SplitRead] = []
         for r, (chain, lane_minus, replaced, needs_fb) in zip(active,
                                                               results):
@@ -392,6 +395,7 @@ class Searcher:
                 r.up_far = _anchorset_from_chain(chain, lane_minus,
                                                  lane_minus, chrom.name)
                 r.far_end_mismatch = chain.full_mm
+        g_fallback.add(len(active), len(fallback))
         if fallback:
             self._far_geometric(chrom, fallback, self._oracle())
 

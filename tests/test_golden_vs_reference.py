@@ -47,9 +47,18 @@ def run_scene(tmp_path, oracle, seed, backend="numpy", extra=(), **scene_kw):
     assert r.returncode == 0, r.stdout[-2000:]
 
     from pindel_tpu.__main__ import main
+    from pindel_tpu.profiling import g_fallback
+    g_fallback.reset()
     assert main(["-f", fa, "-p", reads_txt,
                  "-o", os.path.join(d, "ours"), "-s",
                  "--backend", backend, *extra]) == 0
+    if backend == "fused":
+        # the fused decode assumes ~all chains are uniform; a scene shape
+        # that breaks uniformity is a silent perf cliff (every such read
+        # re-runs on the host oracle), so gate the measured ratio
+        assert g_fallback.ratio() <= 0.01, (
+            f"fused fallback ratio {g_fallback.ratio():.2%} "
+            f"({g_fallback.fallback}/{g_fallback.total})")
     return d, events
 
 

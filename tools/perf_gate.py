@@ -1,17 +1,25 @@
 #!/usr/bin/env python
 """TPU perf gate: run bench.py and fail if vs_baseline falls below the
 floor in PERF_BUDGET.json (the reference enforces wall-time budgets per
-acceptance config, test/SmallTest/execution_time.sh + Makefile:54-61)."""
+acceptance config, test/SmallTest/execution_time.sh + Makefile:54-61).
+
+The floor is a RATCHET: after a passing run the floor is raised to
+0.9 x the achieved vs_baseline (never lowered), so a regression from the
+best recorded round cannot pass silently.  The gate also reports the
+distance to ``target_vs_baseline`` — the project's >10x/chip north star
+(BASELINE.md) — without failing on it.
+"""
 import json
 import os
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUDGET = os.path.join(REPO, "PERF_BUDGET.json")
 
 
 def main() -> int:
-    with open(os.path.join(REPO, "PERF_BUDGET.json")) as fh:
+    with open(BUDGET) as fh:
         budget = json.load(fh)
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                        capture_output=True, text=True, timeout=3600)
@@ -20,17 +28,35 @@ def main() -> int:
     result = json.loads(line)
     print(line)
     floor = budget["min_vs_baseline"]
-    if result["vs_baseline"] < floor:
-        print(f"PERF GATE FAILED: vs_baseline {result['vs_baseline']} "
-              f"< floor {floor}", file=sys.stderr)
-        return 1
-    floor2 = budget.get("min_scene2_vs_baseline")
-    if floor2 is not None and result.get("scene2_vs_baseline", 0) < floor2:
-        print(f"PERF GATE FAILED: scene2_vs_baseline "
-              f"{result.get('scene2_vs_baseline')} < floor {floor2}",
+    vsb = result["vs_baseline"]
+    if vsb < floor:
+        print(f"PERF GATE FAILED: vs_baseline {vsb} < floor {floor}",
               file=sys.stderr)
         return 1
-    print(f"perf gate ok: vs_baseline {result['vs_baseline']} >= {floor}")
+    floor2 = budget.get("min_scene2_vs_baseline")
+    s2 = result.get("scene2_vs_baseline", 0)
+    if floor2 is not None and s2 < floor2:
+        print(f"PERF GATE FAILED: scene2_vs_baseline {s2} < floor {floor2}",
+              file=sys.stderr)
+        return 1
+    target = budget.get("target_vs_baseline")
+    if target:
+        print(f"perf gate ok: vs_baseline {vsb} >= {floor}; "
+              f"target {target} ({'MET' if vsb >= target else f'{vsb/target:.0%} of target'})")
+    else:
+        print(f"perf gate ok: vs_baseline {vsb} >= {floor}")
+    # ratchet: a regression below 90% of the best recorded result fails
+    # the next gate run even if it clears the hand-set floor
+    new_floor = round(max(floor, 0.9 * vsb), 3)
+    new_floor2 = round(max(floor2 or 0, 0.9 * s2), 3)
+    if new_floor > floor or new_floor2 > (floor2 or 0):
+        budget["min_vs_baseline"] = new_floor
+        budget["min_scene2_vs_baseline"] = new_floor2
+        with open(BUDGET, "w") as fh:
+            json.dump(budget, fh, indent=2)
+            fh.write("\n")
+        print(f"floors ratcheted: vs_baseline >= {new_floor}, "
+              f"scene2 >= {new_floor2}")
     return 0
 
 
