@@ -90,16 +90,15 @@ def _scan_lanes(chrom, slice_start, reverse, qq, valid_w, qlen,
     thr is the integer whole-read mismatch threshold equivalent to
     CheckMismatches' float comparison, searcher.cpp:383-387).
 
-    Two passes over the tile: pass 1 accumulates the whole-read mismatch
-    count per candidate, turning the fit rule into a per-candidate bit;
-    pass 2 packs (level, flat_w, strict_bad, bad_fit) into ONE int32 key
-    whose min over the window yields the min level, the representative
-    and its flags at once, while the min over the remaining candidates
-    yields the runner-up level — the uniqueness rule "exactly one
-    candidate within min+additional levels" (searcher.cpp:171-192) is
-    equivalent to runner_up > min(min+additional, tsec) and implies
-    count-at-min == 1.  This replaces ~5 reduction passes + TPU gathers
-    per step with 2 min-reductions.
+    Two passes over the tile (see pallas_scan.py): pass 1 accumulates
+    the whole-read mismatch count per candidate, turning the fit rule
+    into a per-candidate key bit; pass 2 packs (level, flat_w,
+    strict_bad, bad_fit) into ONE int32 key whose min over the window
+    yields the min level, the representative and its flags at once,
+    while the min over the remaining candidates yields the runner-up
+    level — the uniqueness rule "exactly one candidate within
+    min+additional levels" (searcher.cpp:171-192) is equivalent to
+    runner_up > min(min+additional, tsec) and implies count-at-min == 1.
 
     On TPU the two passes run as a Pallas kernel with the carry resident
     in VMEM (_pallas_scan_rows); elsewhere as a lax.scan.
@@ -111,28 +110,41 @@ def _scan_lanes(chrom, slice_start, reverse, qq, valid_w, qlen,
                candidate at the min level, lane-major — the order the
                reference explores PD lists and positions),
       rep_strict_bad (bool: strict-window violation of the representative),
-      fit_ok  (bool: representative passes the whole-read fit rule).
+      fit_ok  (bool: representative passes the whole-read fit rule —
+               count >= thr, the reference's inverted comparison).
     """
     nl = g * nlg
     tile_len = w + lmax
     b = qq.shape[0]
-
-    def load_tile(start, rev):
-        t = jax.lax.dynamic_slice(chrom, (start,), (tile_len,))
-        return jax.lax.select(rev, jnp.flip(t), t)
-
-    tiles = jax.vmap(jax.vmap(load_tile))(slice_start, reverse)  # [B,NL,T]
-
     rows = b * nl
-    kmin, k2, cum_end = _scan_rows(
-        tiles.reshape(rows, tile_len), qq.reshape(rows, lmax),
+
+    # 128-aligned tile load: `chrom` is the [2*NR, 128] concatenation of
+    # the padded chromosome and its reverse (see _chrom_cat) — a lane's
+    # tile (flipped for backward lanes) is a contiguous row-take plus a
+    # per-row in-buffer offset the scan kernel applies.  This replaces a
+    # per-row unaligned gather + flip that cost more than the scan.
+    nrows2 = chrom.shape[0]
+    clpad = (nrows2 // 2) * 128
+    nr = _round_up(tile_len, 128) // 128 + 1
+    tpad = nr * 128
+    start_log = jnp.where(reverse, clpad - slice_start - tile_len,
+                          slice_start)
+    arow = (start_log // 128).astype(jnp.int32) \
+        + jnp.where(reverse, nrows2 // 2, 0)
+    off = (start_log % 128).astype(jnp.int32)
+    row_idx = arow[..., None] + jnp.arange(nr, dtype=jnp.int32)
+    tiles = jnp.take(chrom, row_idx.reshape(-1), axis=0,
+                     mode="clip").reshape(rows, tpad)
+
+    kmin, k2 = _scan_rows(
+        tiles, qq.reshape(rows, lmax),
         valid_w.reshape(rows),
-        jnp.repeat(qlen, nl), jnp.repeat(tsec_minus, nl),
+        jnp.repeat(qlen, nl), jnp.repeat(thr, nl),
+        off.reshape(rows),
         w=w, lmax=lmax, mpm=mpm,
         lsteps=lsteps or lmax)
     kmin = kmin.reshape(b, g, nlg, lmax)
     k2 = k2.reshape(b, g, nlg, lmax)
-    cum_flat = cum_end.reshape(b, g, nlg * w)
 
     shift = _key_shift(w)
     if nlg == 1:
@@ -159,11 +171,7 @@ def _scan_lanes(chrom, slice_start, reverse, qq, valid_w, qlen,
     rep_w = (kmin_g >> 2) & ((1 << (shift - 2)) - 1)
     rep_key = rep_w if nlg == 1 else lane_of * w + rep_w
     rep_strict_bad = (kmin_g & 2) == 2
-    # deferred CheckMismatches fit: gather the representative's whole-read
-    # mismatch count (fit when count >= thr — the reference's inverted
-    # comparison, searcher.cpp:383-387)
-    rep_cum = jnp.take_along_axis(cum_flat, rep_key, axis=2)
-    fit_ok = rep_cum >= thr[:, None, None]
+    fit_ok = (kmin_g & 1) == 0
     return min_mm, lvl2, rep_key, rep_strict_bad, fit_ok
 
 
@@ -172,20 +180,24 @@ def _key_shift(w: int) -> int:
     return wbits + 2
 
 
-def _scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
+def _scan_rows(tiles, qq, valid_w, qlen, thr, off=None,
                *, w: int, lmax: int, mpm: int, lsteps: int = 0):
-    """Per-row packed-key scan: [R, T] tiles -> (kmin, k2, cum_end) —
-    [R, lmax] int32 packed keys plus the [R, w] whole-read mismatch
-    counts for the deferred fit gather.
+    """Per-row packed-key scan: [R, T] tiles -> (kmin, k2) — [R, lmax]
+    int32 packed keys (level << shift | window_offset << 2 |
+    strict_bad << 1 | fitbad).
+
+    Tiles are 128-aligned row-takes of the chromosome with per-row
+    window start ``off`` in [0, 128) (or exact w+lmax tiles with
+    off=None); lane space WE = T - lmax.
 
     ``lsteps`` bounds the scan to the longest real query (lengths beyond
     it cannot emit: in_range needs length <= qlen-1 <= lsteps); the
     outputs stay [R, lmax] with zeros past lsteps."""
     lsteps = lsteps or lmax
     if jax.default_backend() == "tpu":
-        return _pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
+        return _pallas_scan_rows(tiles, qq, valid_w, qlen, thr, off,
                                  w=w, lmax=lmax, mpm=mpm, lsteps=lsteps)
-    return _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
+    return _xla_scan_rows(tiles, qq, valid_w, qlen, thr, off,
                           w=w, lmax=lmax, mpm=mpm, lsteps=lsteps)
 
 
@@ -193,29 +205,49 @@ NEVER = -(1 << 20)   # lastmm sentinel: no strict mismatch yet
 MAXI = 2 ** 31 - 1   # runner-up placeholder for the min-key lanes
 
 
-def _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
+def _xla_scan_rows(tiles, qq, valid_w, qlen, thr, off=None,
                    *, w: int, lmax: int, mpm: int, lsteps: int = 0):
     """XLA twin of pallas_scan._kernel — must stay bit-identical.
 
     State per candidate is (packed key base, last strict-mismatch step):
     dead lanes START at the `dead` level instead of being clamped per
     step (levels are monotone counts, see pallas_scan docstring), and
-    the strict-window rule is ``lastmm > l - mpm``."""
+    the strict-window rule is ``lastmm > l - mpm``.  The whole-read fit
+    bit rides bit 0 of the key, from a totals-only first pass."""
     lsteps = lsteps or lmax
     dead = U8DEAD if lmax <= 255 else I16DEAD
     shift = _key_shift(w)
     assert ((dead + lmax) << shift) + (1 << shift) < 2 ** 31, (w, lmax)
-    r = tiles.shape[0]
+    r, t = tiles.shape
+    we = t - lmax
+    assert we >= w, (t, w, lmax)
+    if off is None:
+        assert we == w, (t, w, lmax)
+        off = jnp.zeros((r,), jnp.int32)
+    off_c = off[:, None]
 
-    widx = jnp.arange(w, dtype=jnp.int32)
-    seeded = (tiles[:, :w] == qq[:, 0:1]) & (widx[None, :] < valid_w[:, None])
+    # pass 1: whole-read mismatch totals per candidate -> fit bit
+    def total_body(tot, l):
+        ref = jax.lax.dynamic_slice_in_dim(tiles, l, we, axis=1)
+        qb = jax.lax.dynamic_slice_in_dim(qq, l, 1, axis=1)
+        mm = ((ref != qb) ^ (qb == dna.N)) & ((l >= 1) & (l < qlen[:, None]))
+        return tot + mm.astype(jnp.int32), None
+
+    totals, _ = jax.lax.scan(total_body, jnp.zeros((r, we), jnp.int32),
+                             jnp.arange(lsteps, dtype=jnp.int32))
+    fitbad = (totals < thr[:, None]).astype(jnp.int32)
+
+    widx = jnp.arange(we, dtype=jnp.int32)[None, :]
+    seeded = ((tiles[:, :we] == qq[:, 0:1]) & (widx >= off_c)
+              & (widx < off_c + valid_w[:, None]))
     seeded &= (qq[:, 0:1] != dna.N)
+    woff = jnp.clip(widx - off_c, 0, w - 1)
     keybase0 = (jnp.where(seeded, 0, jnp.int32(dead)) << shift) \
-        | (widx[None, :] << 2)
+        | (woff << 2) | fitbad
 
     def body(carry, l):
         keybase, lastmm = carry
-        ref = jax.lax.dynamic_slice_in_dim(tiles, l, w, axis=1)
+        ref = jax.lax.dynamic_slice_in_dim(tiles, l, we, axis=1)
         qb = jax.lax.dynamic_slice_in_dim(qq, l, 1, axis=1)
         d = ref != qb
         mm = (d ^ (qb == dna.N)) & ((l >= 1) & (l < qlen[:, None]))
@@ -228,20 +260,19 @@ def _xla_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
                                jnp.int32(MAXI), key), axis=1)
         return (keybase, lastmm), (kmin, k2)
 
-    lm0 = jnp.full((r, w), NEVER, jnp.int32)
-    (keybase_end, _), (kmin, k2) = jax.lax.scan(
+    lm0 = jnp.full((r, we), NEVER, jnp.int32)
+    _, (kmin, k2) = jax.lax.scan(
         body, (keybase0, lm0), jnp.arange(lsteps, dtype=jnp.int32))
     pad = ((0, 0), (0, lmax - lsteps))
     return (jnp.pad(jnp.moveaxis(kmin, 0, 1), pad),
-            jnp.pad(jnp.moveaxis(k2, 0, 1), pad),
-            keybase_end >> shift)
+            jnp.pad(jnp.moveaxis(k2, 0, 1), pad))
 
 
-def _pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
+def _pallas_scan_rows(tiles, qq, valid_w, qlen, thr, off=None,
                       *, w: int, lmax: int, mpm: int, lsteps: int = 0):
-    """Pallas TPU kernel: one pass with the carry resident in VMEM."""
+    """Pallas TPU kernel: two passes with the carry resident in VMEM."""
     from pindel_tpu.ops.pallas_scan import pallas_scan_rows
-    return pallas_scan_rows(tiles, qq, valid_w, qlen, tsec_minus,
+    return pallas_scan_rows(tiles, qq, valid_w, qlen, thr, off,
                             w=w, lmax=lmax, mpm=mpm, lsteps=lsteps or lmax)
 
 
@@ -301,6 +332,19 @@ def _emit_rules(min_mm, lvl2, rep_key, rep_strict_bad, fit_ok,
     return emit, rep_last, uniform, any_emit, last
 
 
+@jax.jit
+def _chrom_cat(chrom):
+    """[CL] int8 chromosome -> [2*NR, 128]: 128-padded rows of the
+    chromosome followed by the rows of its reverse.  Kernel tile loads
+    (forward and flipped) become contiguous row-takes of this array."""
+    cl = chrom.shape[0]
+    clpad = _round_up(cl, 128)
+    fwd = jnp.concatenate(
+        [chrom, jnp.full((clpad - cl,), dna.N, jnp.int8)])
+    return jnp.concatenate([fwd.reshape(-1, 128),
+                            jnp.flip(fwd).reshape(-1, 128)])
+
+
 def _pack_words(emit):
     """[..., L] bool -> [..., L/32] int32 (little-endian within a word).
 
@@ -316,16 +360,23 @@ def _pack_words(emit):
 
 
 def _complement(codes):
-    return jnp.take(jnp.asarray(dna.RC), codes.astype(jnp.int32),
-                    axis=0).astype(jnp.int8)
+    # arithmetic base complement (A<->T, C<->G, N->N): codes 0..3 map to
+    # 3-c, N(4) stays — a 5-entry table lookup lowers to a slow TPU
+    # gather, the select is pure elementwise
+    c = codes.astype(jnp.int32)
+    return jnp.where(c == dna.N, c, 3 - c).astype(jnp.int8)
 
 
-def _reverse_within(codes, qlen, lmax: int):
-    """Reverse each row within its qlen; padding stays N at the tail."""
-    l = jnp.arange(lmax, dtype=jnp.int32)[None, :]
-    idx = jnp.where(l < qlen[:, None], qlen[:, None] - 1 - l, 0)
-    rev = jnp.take_along_axis(codes, idx, axis=1)
-    return jnp.where(l < qlen[:, None], rev, jnp.int8(dna.N))
+def _reverse_codes_np(codes: np.ndarray, qlen: np.ndarray) -> np.ndarray:
+    """Reverse each row within its qlen (padding stays N at the tail) —
+    on host: the per-row gather this needs costs more on TPU than
+    shipping the second 4-bit copy in the payload."""
+    b, lmax = codes.shape
+    li = np.arange(lmax)[None, :]
+    valid = li < qlen[:, None]
+    idx = np.where(valid, np.maximum(qlen[:, None] - 1 - li, 0), li)
+    out = np.take_along_axis(codes, idx, axis=1)
+    return np.where(valid, out, np.int8(dna.N)).astype(np.int8)
 
 
 # --------------------------------------------------- payload pack/unpack
@@ -395,13 +446,15 @@ def _close_kernel(chrom, payload, maxmm,
 
     where R = reverse-within-qlen and C = base complement.
 
-    Inputs: payload (see _pack_payload: 4-bit codes + CM_WORDS meta).
-    Output: ONE int32 array [B, lmax//32 + 2]: emission words of the
-    winning attempt, its representative, and flags = winner(0..3 or
-    255) | uniform << 8.
+    Inputs: payload (see _pack_payload: 4-bit codes of BOTH the original
+    and the host-reversed sequence + CM_WORDS meta — the within-qlen
+    reversal is a per-row gather that costs more on TPU than shipping
+    the second copy).  Output: ONE int32 array [B, lmax//32 + 2]:
+    emission words of the winning attempt, its representative, and
+    flags = winner(0..3 or 255) | uniform << 8.
     """
     from pindel_tpu.genome import SPACER
-    codes, meta = _unpack_payload(payload, lmax, CM_WORDS)
+    codes2, meta = _unpack_payload(payload, 2 * lmax, CM_WORDS)
     pos = meta[:, 0]
     isz = meta[:, 1] & 0x1ffff
     qlen = meta[:, 1] >> 17
@@ -409,10 +462,10 @@ def _close_kernel(chrom, payload, maxmm,
     tm = (meta[:, 2] >> 8) & 0xff
     thr = (meta[:, 2] >> 16) & 0x3ff
     minus = ((meta[:, 2] >> 26) & 1).astype(bool)
-    f = codes
+    f = codes2[:, :lmax]
+    rf = codes2[:, lmax:]          # reverse-within-qlen, host-computed
     cf = _complement(f)
-    rf = _reverse_within(f, qlen, lmax)
-    rcf = _reverse_within(cf, qlen, lmax)
+    rcf = _complement(rf)          # reverse and complement commute
     mm_col = minus[:, None]
     q_orig = jnp.where(mm_col, rf, rcf)   # attempt with original sequence
     q_flip = jnp.where(mm_col, cf, f)     # attempt with RC'd sequence
@@ -731,6 +784,9 @@ class FusedJaxBackend:
         self.maxmm_dev = jnp.asarray(self.maxmm)
         self.chrom_codes = np.asarray(chrom_codes)
         self.chrom_dev = jax.device_put(jnp.asarray(chrom_codes))
+        # [2*NR, 128] aligned layout for the kernels' row-take tile loads
+        # (built on device: upload stays one chromosome copy)
+        self.chromcat_dev = _chrom_cat(self.chrom_dev)
         self.chrom_name = chrom_name
         self._legacy = JaxBackend.__new__(JaxBackend)
         self._legacy.mpm = self.mpm
@@ -823,7 +879,7 @@ class FusedJaxBackend:
         t1 = time.monotonic()
         g_timer.add("fused: pack bdwin", t1 - t0)
         out_dev = self._far_win_call(
-            self.chrom_dev, jnp.asarray(payload), self.maxmm_dev,
+            self.chromcat_dev, jnp.asarray(payload), self.maxmm_dev,
             w=w, lmax=lmax, mpm=self.mpm, bp_start=bp_start,
             lsteps=lsteps)
         outarr = np.asarray(jax.device_get(out_dev))
@@ -1048,11 +1104,13 @@ class FusedJaxBackend:
                 results[base + i] = (None, -1, True)
             return st
         meta = _close_meta(pos, isz, qlen, ms, tm, thr, minus)
-        payload = _pack_payload(codes, meta)
+        payload = _pack_payload(
+            np.concatenate([codes, _reverse_codes_np(codes, qlen)],
+                           axis=1), meta)
         t1 = time.monotonic()
         g_timer.add("fused: pack close", t1 - t0)
         st["dev"] = self._close_call(
-            self.chrom_dev, jnp.asarray(payload), self.maxmm_dev,
+            self.chromcat_dev, jnp.asarray(payload), self.maxmm_dev,
             w0=w0, w1=w1, lmax=lmax, mpm=self.mpm, bp_start=bp_start,
             lsteps=st["lsteps"], with_r1=with_r1)
         _copy_to_host_async([st["dev"]])
@@ -1233,7 +1291,7 @@ class FusedJaxBackend:
         t1 = time.monotonic()
         g_timer.add("fused: pack far", t1 - t0)
         dev = self._far_call(
-            self.chrom_dev, jnp.asarray(payload), self.maxmm_dev,
+            self.chromcat_dev, jnp.asarray(payload), self.maxmm_dev,
             spans=tuple(spans), ws=tuple(ws), lmax=lmax, mpm=self.mpm,
             bp_start=bp_start,
             lsteps=_round_up(int(qlen[:nb].max()), 16))

@@ -32,8 +32,8 @@ def _case(rng, r, w, lmax, lsteps):
     qq = rng.integers(0, 5, size=(r, lmax), dtype=np.int8)
     qlen = rng.integers(20, lmax + 1, size=r).astype(np.int32)
     valid_w = rng.integers(0, w + 1, size=r).astype(np.int32)
-    tsec = rng.integers(0, 12, size=r).astype(np.int32)
-    return tiles, qq, valid_w, qlen, tsec
+    thr = rng.integers(0, 12, size=r).astype(np.int32)
+    return tiles, qq, valid_w, qlen, thr
 
 
 @pytest.mark.parametrize("lmax", LMAXES)
@@ -55,6 +55,6 @@ def test_compiled_pallas_matches_xla(w, lmax):
     compiled = pallas_scan_rows(*args, w=w, lmax=lmax, mpm=3,
                                 lsteps=lsteps)
     golden = _xla_scan_rows(*args, w=w, lmax=lmax, mpm=3, lsteps=lsteps)
-    for got, want, name in zip(compiled, golden, ("kmin", "k2", "cum")):
+    for got, want, name in zip(compiled, golden, ("kmin", "k2")):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                       err_msg=f"{name} w={w} lmax={lmax}")

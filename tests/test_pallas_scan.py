@@ -32,15 +32,14 @@ def test_pallas_matches_xla_scan(seed, w, lmax, rows):
     valid_w = rng.integers(1, w + 1, rows).astype(np.int32)
     tsec = rng.integers(1, 8, rows).astype(np.int32)
 
-    kx, k2x, cx = _xla_scan_rows(
+    kx, k2x = _xla_scan_rows(
         jnp.asarray(tiles), jnp.asarray(qq), jnp.asarray(valid_w),
         jnp.asarray(qlen), jnp.asarray(tsec),
         w=w, lmax=lmax, mpm=3)
-    kp, k2p, cp = pallas_scan_rows(
+    kp, k2p = pallas_scan_rows(
         jnp.asarray(tiles), jnp.asarray(qq), jnp.asarray(valid_w),
         jnp.asarray(qlen), jnp.asarray(tsec),
         w=w, lmax=lmax, mpm=3, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(kx), np.asarray(kp))
     np.testing.assert_array_equal(np.asarray(k2x), np.asarray(k2p))
-    np.testing.assert_array_equal(np.asarray(cx), np.asarray(cp))
