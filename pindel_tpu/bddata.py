@@ -179,8 +179,15 @@ class BDData:
     # --------------------------------------------------------- RP clusters
     def update_bd(self, rp_reads: List[RPRead],
                   rp_interchr: List[RPRead], rp_out: TextIO,
-                  report_interchromosomal: bool) -> None:
-        """UpdateBD (bddata.cpp:646-811)."""
+                  report_interchromosomal: bool) -> List[Event]:
+        """UpdateBD (bddata.cpp:646-811).
+
+        Returns the window's event DELTA (everything appended beyond the
+        external events): BD state is per-window (the reference rebuilds
+        m_bdEvents from m_bdEvents_external each window, bddata.cpp:649),
+        so under --hosts the owning rank ships this delta plus the _RP
+        text to the coordinator instead of every rank replaying the
+        whole RP channel (apply_bd_delta)."""
         self.events = list(self.events_external)
         rp_reads.sort(key=lambda r: (r.pos_a, r.pos_b))
         modify_rp(rp_reads)
@@ -263,6 +270,14 @@ class BDData:
                         f"\tSupport: {read.num_identical}"
                         + _support_per_sample(read) + "\n")
         rp_interchr.clear()
+        delta = self.events[len(self.events_external):]
+        self.events.sort(key=_first_key)
+        return delta
+
+    def apply_bd_delta(self, delta: List[Event]) -> None:
+        """Coordinator side of the sharded evidence chain: install a
+        window's RP->BD event delta computed by its owning rank."""
+        self.events = list(self.events_external) + list(delta)
         self.events.sort(key=_first_key)
 
     # ------------------------------------------------------- rasterization

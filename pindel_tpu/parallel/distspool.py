@@ -1,22 +1,25 @@
-"""jax.distributed window transport: anchor tables over collectives.
+"""jax.distributed window transport: point-to-point anchor-table sends.
 
 The pod-shaped data plane behind ``--hosts N --dist jax``: every process
 runs the same window loop (``parallel/multihost.py`` ownership rule
 ``window % N == rank``); a worker-owned window's packed anchor tables
-(parallel/payload.py) move to the coordinator as a two-stage
-``broadcast_one_to_all`` — a fixed-layout int64 length header, then one
-concatenated uint8 blob — which XLA lowers to runtime collectives over
-ICI/DCN on a real pod (SURVEY §2.3/§7: per-shard candidate anchors
-merged with collectives before host-side clustering).  On this machine
-it is smoke-tested with N CPU processes coordinated through
-``jax.distributed.initialize`` (gRPC transport; same wiring, same call
-order, no pod required).
+(parallel/payload.py) move to the coordinator as a worker->coordinator
+SEND over the ``jax.distributed`` runtime's key-value service — a fixed
+int64 length header plus one concatenated uint8 blob per window.  Only
+the producing worker and the consuming coordinator touch a window's
+payload; other ranks neither join a collective nor receive the bytes
+(round 4 used ``broadcast_one_to_all``, which shipped every worker
+window to ALL ranks — O(N * payload) and a forced global join).
 
-Collective-order discipline: every rank walks windows in the same order
-and joins a broadcast for exactly the worker-owned windows (coordinator-
-owned windows need no transport).  The 1-deep window pipelining in
-``Pipeline.run`` keeps each rank's own device search in flight while it
-blocks in a peer window's broadcast.
+The coordinator deletes each window's keys after consuming them, so the
+in-flight footprint is bounded by how far workers run ahead (one to two
+windows under the pipeline's 1-deep prefetch), not by the genome.
+
+On this machine the plane is smoke-tested with N CPU processes
+coordinated through ``jax.distributed.initialize`` (gRPC transport;
+same wiring, same call order, no pod required).  On a real pod the same
+calls ride the coordinator service over DCN; payloads are compact
+anchor tables (tens of bytes per read), not read batches.
 
 The payload blob layout is derived from ``payload.pack``'s key order
 (deterministic dict order) — receivers reconstruct dtypes/shapes from
@@ -25,7 +28,7 @@ the header alone, so ragged windows need no pre-negotiated shapes.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
@@ -65,12 +68,15 @@ def _decode(header: np.ndarray, blob: np.ndarray) -> Dict[str, np.ndarray]:
 
 
 class JaxDistSpool:
-    """Window spool over jax.distributed collectives.
+    """Window spool over the jax.distributed key-value service.
 
     Implements the same interface Pipeline consumes (``mine``/``worker``/
-    ``dump``/``load``) plus ``consume`` for workers joining a peer
-    worker's broadcast (required: collectives are global).
+    ``dump``/``load``).  ``needs_transport`` is always False: transport
+    is point-to-point, so ranks that neither own nor report a window do
+    nothing for it.
     """
+
+    TIMEOUT_MS = 900_000
 
     def __init__(self, rank: int, num_hosts: int):
         self.rank = rank
@@ -85,38 +91,43 @@ class JaxDistSpool:
         return widx % self.num_hosts
 
     def needs_transport(self, widx: int) -> bool:
-        return self.owner(widx) != 0
+        return False            # point-to-point: no global join needed
 
     # transport --------------------------------------------------------
-    def _bcast(self, header: Optional[np.ndarray],
-               blob: Optional[np.ndarray], source: bool):
-        from jax.experimental import multihost_utils as mh
-        nkeys = len(_schema())
-        if not source:
-            header = np.zeros(nkeys, np.int64)
-        header = mh.broadcast_one_to_all(header, is_source=source)
-        header = np.asarray(header)
-        total = int(header.sum())
-        if not source:
-            blob = np.zeros(total, np.uint8)
-        blob = mh.broadcast_one_to_all(blob, is_source=source)
-        return header, np.asarray(blob)
+    @staticmethod
+    def _client():
+        from jax._src import distributed
+        client = distributed.global_state.client
+        assert client is not None, "jax.distributed is not initialized"
+        return client
 
-    def dump(self, widx: int, kept: List) -> None:
-        """Owner side: ship this window's searched reads to everyone
-        (the coordinator consumes them; other workers discard)."""
-        header, blob = _encode(payload.pack(kept))
-        self._bcast(header, blob, source=True)
+    def dump(self, widx: int, kept: List, bd_delta=None,
+             rp_text: str = "") -> None:
+        """Owner side: send this window's searched reads (plus its
+        RP->BD evidence delta + _RP text) to the coordinator."""
+        header, blob = _encode(payload.pack(kept, bd_delta, rp_text))
+        c = self._client()
+        c.key_value_set_bytes(f"pindel/w{widx}/h", header.tobytes())
+        c.key_value_set_bytes(f"pindel/w{widx}/b", blob.tobytes())
 
-    def load(self, widx: int) -> List:
-        """Coordinator side for a worker-owned window."""
-        header, blob = self._bcast(None, None, source=False)
-        return payload.unpack(_decode(header, blob))
-
-    def consume(self, widx: int) -> None:
-        """Worker side for a window owned by a *different* worker: join
-        the global broadcast and discard the payload."""
-        self._bcast(None, None, source=False)
+    def load(self, widx: int):
+        """Coordinator side for a worker-owned window: blocking receive
+        -> (reads, bd delta, _RP text); keys deleted afterwards so
+        in-flight memory stays bounded."""
+        c = self._client()
+        h = c.blocking_key_value_get_bytes(f"pindel/w{widx}/h",
+                                           self.TIMEOUT_MS)
+        b = c.blocking_key_value_get_bytes(f"pindel/w{widx}/b",
+                                           self.TIMEOUT_MS)
+        for suffix in ("h", "b"):
+            try:
+                c.key_value_delete(f"pindel/w{widx}/{suffix}")
+            except Exception:
+                pass
+        header = np.frombuffer(h, np.int64)
+        blob = np.frombuffer(b, np.uint8)
+        d = _decode(header, blob)
+        return payload.unpack(d), *payload.unpack_bd(d)
 
 
 def init_distributed(coordinator: str, num_processes: int,

@@ -67,17 +67,19 @@ class WindowSpool:
     def _path(self, widx: int) -> str:
         return os.path.join(self.root, f"w{widx:06d}.npz")
 
-    def dump(self, widx: int, kept: List) -> None:
+    def dump(self, widx: int, kept: List, bd_delta=None,
+             rp_text: str = "") -> None:
         import numpy as np
 
         from pindel_tpu.parallel import payload
         path = self._path(widx)
         tmp = path + f".tmp{self.rank}"
         with open(tmp, "wb") as fh:
-            np.savez(fh, **payload.pack(kept))
+            np.savez(fh, **payload.pack(kept, bd_delta, rp_text))
         os.replace(tmp, path)
 
-    def load(self, widx: int) -> List:
+    def load(self, widx: int):
+        """-> (reads, bd event delta, _RP text) for a worker window."""
         import numpy as np
 
         from pindel_tpu.parallel import payload
@@ -89,7 +91,8 @@ class WindowSpool:
                                    f"worker {widx % self.num_hosts}")
             time.sleep(0.02)
         with np.load(path, allow_pickle=False) as z:
-            return payload.unpack({k: z[k] for k in z.files})
+            d = {k: z[k] for k in z.files}
+        return payload.unpack(d), *payload.unpack_bd(d)
 
 
 def _build_pipeline(cfg):

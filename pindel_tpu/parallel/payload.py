@@ -123,8 +123,11 @@ def _unpack_anchors(d: Dict[str, np.ndarray], prefix: str, n: int
     return out
 
 
-def pack(kept: List[SplitRead]) -> Dict[str, np.ndarray]:
-    """Searched reads -> flat dict of pure numpy arrays."""
+def pack(kept: List[SplitRead], bd_delta=None,
+         rp_text: str = "") -> Dict[str, np.ndarray]:
+    """Searched reads (plus the window's RP->BD evidence delta and _RP
+    report text, when BAM discovery is on) -> flat dict of pure numpy
+    arrays."""
     out: Dict[str, np.ndarray] = {"n": np.array([len(kept)], np.int64)}
     for col in _STR_COLS:
         buf, off = _pack_strings([getattr(r, col) for r in kept])
@@ -138,7 +141,37 @@ def pack(kept: List[SplitRead]) -> Dict[str, np.ndarray]:
             (getattr(r, col) for r in kept), bool, len(kept))
     _pack_anchors([r.up_close for r in kept], "cl", out)
     _pack_anchors([r.up_far for r in kept], "fa", out)
+    # window evidence delta: [n, 6] (a_cid, a_pos, a_pos2, b_cid, ...)
+    evs = bd_delta or []
+    names: List[str] = []
+    name_idx: Dict[str, int] = {}
+    tab = np.zeros((len(evs), 6), np.int64)
+    for k, (a, b) in enumerate(evs):
+        for j, c in enumerate((a, b)):
+            gi = name_idx.get(c.chr_name)
+            if gi is None:
+                gi = name_idx[c.chr_name] = len(names)
+                names.append(c.chr_name)
+            tab[k, 3 * j] = gi
+            tab[k, 3 * j + 1] = c.pos
+            tab[k, 3 * j + 2] = c.pos2
+    nb, no = _pack_strings(names)
+    out["bdv_tab"] = tab.reshape(-1)
+    out["bdv_chr_buf"] = nb
+    out["bdv_chr_off"] = no
+    out["bdv_rp_text"] = np.frombuffer(rp_text.encode(), np.uint8)
     return out
+
+
+def unpack_bd(d: Dict[str, np.ndarray]):
+    """(bd event delta, _RP text) from a packed window dict."""
+    from pindel_tpu.bddata import BDCoord
+    names = _unpack_strings(d["bdv_chr_buf"], d["bdv_chr_off"])
+    tab = d["bdv_tab"].reshape(-1, 6)
+    delta = [(BDCoord(names[int(r[0])], int(r[1]), int(r[2])),
+              BDCoord(names[int(r[3])], int(r[4]), int(r[5])))
+             for r in tab]
+    return delta, d["bdv_rp_text"].tobytes().decode()
 
 
 def unpack(d: Dict[str, np.ndarray]) -> List[SplitRead]:

@@ -529,19 +529,11 @@ class Pipeline:
             window, reads, ref_reads, token = pending
             kept = far_tokens = None
         if token is _SKIP:
-            # worker role, peer-owned window: replay the sequential
-            # RP->BD evidence so this rank's BD state matches the
-            # single-process run at every later window
-            if self.bam_input and s.search_discordant_read_pair:
-                rp, rp_inter = self._window_rp_discovery(chrom, window)
-                self.bd.update_bd(rp, rp_inter, self._out("RP"),
-                                  s.report_interchromosomal_events)
-            sp = self.spool
-            if (hasattr(sp, "consume")
-                    and sp.needs_transport(window.index)):
-                # collective transport: join the owning worker's
-                # broadcast (collectives are global) and discard
-                sp.consume(window.index)
+            # worker role, peer-owned window: nothing to do — BD
+            # evidence state is per-window (update_bd resets to the
+            # external events, mirroring bddata.cpp:649), and the
+            # owning rank ships its window's delta + _RP text to the
+            # coordinator with the searched reads
             g_read_stats.reset()
             return
         self.state.region_start = window.current_start
@@ -556,13 +548,31 @@ class Pipeline:
                 self.state.sample_names.add(r.tag)
         # RP discovery + BD-like event conversion (pindel.cpp:1837-1847),
         # then window rasterization.  Neither affects close-end mapping,
-        # so they run after the close dispatch.
-        if self.bam_input and s.search_discordant_read_pair:
+        # so they run after the close dispatch.  Sharding: only the
+        # window's OWNER runs the RP channel; a delegated window's
+        # delta + _RP text arrive with its payload (VERDICT r4 item 6).
+        bd_delta = None
+        rp_text = ""
+        with_rp = self.bam_input and s.search_discordant_read_pair
+        if token is _DELEGATED:
+            with g_timer.phase("Matching close ends"):
+                # close+far anchors computed by a peer process
+                kept, bd_delta, rp_text = self.spool.load(window.index)
+            if with_rp:
+                self._out("RP").write(rp_text)
+                with g_timer.phase("bd: update"):
+                    self.bd.apply_bd_delta(bd_delta)
+        elif with_rp:
+            import io
             with g_timer.phase("bd: rp discovery"):
                 rp, rp_inter = self._window_rp_discovery(chrom, window)
+            worker = self.spool is not None and self.spool.worker
+            sink = io.StringIO() if worker else self._out("RP")
             with g_timer.phase("bd: update"):
-                self.bd.update_bd(rp, rp_inter, self._out("RP"),
-                                  s.report_interchromosomal_events)
+                bd_delta = self.bd.update_bd(
+                    rp, rp_inter, sink, s.report_interchromosomal_events)
+            if worker:
+                rp_text = sink.getvalue()
         with g_timer.phase("bd: load region"):
             self.bd.load_region(chrom.name,
                                 window.current_start + SPACER,
@@ -571,15 +581,12 @@ class Pipeline:
         g_read_stats.in_window += len(reads)
         if kept is None:
             with g_timer.phase("Matching close ends"):
-                if token is _DELEGATED:
-                    # close+far anchors computed by a peer process
-                    kept = self.spool.load(window.index)
-                else:
-                    self.searcher.map_close_ends_finish(token)
-                    kept = self.searcher.finalize_close_ends(reads)
+                self.searcher.map_close_ends_finish(token)
+                kept = self.searcher.finalize_close_ends(reads)
         from pindel_tpu.reads import PLUS
         if self.spool is not None and self.spool.worker and not kept:
-            self.spool.dump(window.index, [])    # coordinator still waits
+            # coordinator still waits (and needs the evidence delta)
+            self.spool.dump(window.index, [], bd_delta, rp_text)
             g_read_stats.reset()
             return
         for r in kept:
@@ -633,7 +640,7 @@ class Pipeline:
                 if self.spool is not None and self.spool.worker:
                     # worker role: ship this window's searched reads to
                     # the coordinator and stop before any reporting
-                    self.spool.dump(window.index, kept)
+                    self.spool.dump(window.index, kept, bd_delta, rp_text)
                     g_read_stats.reset()
                     return
                 # per-window interchromosomal pool (pindel.cpp:1905-1917)

@@ -11,22 +11,112 @@ window and drop out-of-window records (ReadInRead, reader.cpp:196-361,
 with the g_maxPos early-exit) — same O(window) working set, O(file)
 re-scan per window; the index replaces the re-scan with binary search.
 
+Record scanning and field parsing run in native code
+(native/textscan.cpp, ctypes): the pure-Python record loop was ~20% of
+warm pipeline wall at 50k reads.
+
 gz inputs can't seek cheaply and fall back to the in-RAM loader.
 """
 from __future__ import annotations
 
+import ctypes
 import os
-import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
-from pindel_tpu.reads import SplitRead, _read_pindel_batch
+from pindel_tpu.reads import SplitRead
 
-# a record's 3rd line: "±  chr  pos  ..." — name lines start with '@',
-# sequence lines with a base letter, so the leading sign is unambiguous
-_META_RE = re.compile(rb"^[+-][ \t]+(\S+)[ \t]+(\d+)", re.M)
 _CHUNK = 16 << 20
+_NATIVE = None
+
+
+def _lib():
+    global _NATIVE
+    if _NATIVE is None:
+        from pindel_tpu import native
+        lib = native.load("pttext", ["textscan.cpp"], link=())
+        lib.pt_scan.restype = ctypes.c_long
+        lib.pt_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_long)] + [ctypes.c_void_p] * 11 + [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long)]
+        _NATIVE = lib
+    return _NATIVE
+
+
+_STR_CAP = 1 << 20
+
+
+def _pt_scan(data: bytes, final: bool):
+    """Scan 3-line records in ``data``; returns (count, consumed bytes,
+    field arrays, chrom names, tag names)."""
+    cap = data.count(b"\n") // 3 + 2
+    arrs = [np.empty(cap, np.int64) for _ in range(5)]        # rec,no,nl,so,sl
+    dm = np.empty(cap, np.int8)
+    ints = [np.empty(cap, np.int64) for _ in range(3)]        # pos,ms,isz
+    ids = [np.empty(cap, np.int32) for _ in range(2)]         # chrom,tag
+    nbuf = ctypes.create_string_buffer(_STR_CAP)
+    ncap = ctypes.c_long(_STR_CAP)
+    tbuf = ctypes.create_string_buffer(_STR_CAP)
+    tcap = ctypes.c_long(_STR_CAP)
+    consumed = ctypes.c_long(0)
+
+    def ptr(a):
+        return ctypes.c_void_p(a.ctypes.data)
+
+    cnt = _lib().pt_scan(
+        data, len(data), cap, 1 if final else 0, ctypes.byref(consumed),
+        *[ptr(a) for a in arrs], ptr(dm), *[ptr(a) for a in ints],
+        *[ptr(a) for a in ids],
+        ctypes.cast(nbuf, ctypes.c_char_p), ctypes.byref(ncap),
+        ctypes.cast(tbuf, ctypes.c_char_p), ctypes.byref(tcap))
+    if cnt < 0:
+        raise ValueError(f"pindel text scan failed (code {cnt})")
+    names = nbuf.raw[:ncap.value].decode().split("\n")[:-1] \
+        if ncap.value else []
+    tags = tbuf.raw[:tcap.value].decode().split("\n")[:-1] \
+        if tcap.value else []
+    fields = tuple(a[:cnt] for a in (*arrs, dm, *ints, *ids))
+    return int(cnt), int(consumed.value), fields, names, tags
+
+
+def records_from_buffer(blob: bytes) -> List[SplitRead]:
+    """Parse a buffer of whole records into SplitReads (native scan +
+    minimal per-record Python).  Only the parsed fields enter the
+    instance dict; everything else resolves through SplitRead's
+    class-level defaults."""
+    cnt, consumed, fields, names, tags = _pt_scan(blob, True)
+    if consumed != len(blob) and blob[consumed:].strip():
+        raise ValueError("record framing error in streaming intake")
+    _rec, no, nl, so, sl, dm, pos, ms, isz, cid, tid = fields
+    text = blob.decode("ascii")
+    nol, nll = no.tolist(), nl.tolist()
+    sol, sll = so.tolist(), sl.tolist()
+    dml, posl = dm.tolist(), pos.tolist()
+    msl, iszl = ms.tolist(), isz.tolist()
+    cidl, tidl = cid.tolist(), tid.tolist()
+    out: List[SplitRead] = []
+    ap = out.append
+    new = SplitRead.__new__
+    for i in range(cnt):
+        r = new(SplitRead)
+        ci = cidl[i]
+        o = nol[i]
+        s = sol[i]
+        if ci >= 0:
+            r.__dict__ = {
+                "name": text[o:o + nll[i]], "seq": text[s:s + sll[i]],
+                "matched_d": "-" if dml[i] else "+",
+                "frag_name": names[ci],
+                "matched_rel_pos": posl[i], "ms": msl[i],
+                "insert_size": iszl[i], "tag": tags[tidl[i]]}
+        else:
+            r.__dict__ = {"name": text[o:o + nll[i]],
+                          "seq": text[s:s + sll[i]]}
+        ap(r)
+    return out
 
 
 class PindelTextIndex:
@@ -36,7 +126,7 @@ class PindelTextIndex:
     def __init__(self, paths: List[str]):
         self.paths = list(paths)
         self._handles: List = [None] * len(self.paths)
-        chrom_ids: Dict[bytes, int] = {}
+        chrom_ids: Dict[str, int] = {}
         chrom_l: List[np.ndarray] = []
         pos_l: List[np.ndarray] = []
         off_l: List[np.ndarray] = []
@@ -56,7 +146,7 @@ class PindelTextIndex:
         self.max_pos = int(pos.max()) if pos.size else 0
         self.n_records = int(pos.size)
         self._by_chrom: Dict[str, Tuple[np.ndarray, ...]] = {}
-        names = {v: k.decode() for k, v in chrom_ids.items()}
+        names = {v: k for k, v in chrom_ids.items()}
         for cid, name in names.items():
             sel = np.flatnonzero(chrom == cid)
             order = np.argsort(pos[sel], kind="stable")
@@ -66,50 +156,54 @@ class PindelTextIndex:
         self._file_offsets = [np.sort(o) for o in off_l]
 
     @staticmethod
-    def _scan(path: str, chrom_ids: Dict[bytes, int]):
-        """One sequential pass: per record (3 lines), the meta line's
-        (chrom, pos) plus the record's byte offset."""
-        chroms: List[int] = []
-        poss: List[int] = []
-        offs: List[int] = []
+    def _scan(path: str, chrom_ids: Dict[str, int]):
+        """One sequential chunked pass (native scanner): per record, the
+        meta line's (chrom, pos) plus the record's byte offset."""
+        chrom_out: List[np.ndarray] = []
+        pos_out: List[np.ndarray] = []
+        off_out: List[np.ndarray] = []
         carry = b""
         base = 0            # file offset of carry[0]
+        size = os.path.getsize(path)
         with open(path, "rb") as fh:
             while True:
                 chunk = fh.read(_CHUNK)
-                if not chunk:
-                    break
+                final = not chunk
                 data = carry + chunk
-                nl = np.flatnonzero(np.frombuffer(data, np.uint8) == 10)
-                # cut at the last complete RECORD (3 lines), so every
-                # block starts at a name line and holds whole records
-                take = nl.size - (nl.size % 3)
-                if take == 0:
-                    carry = data
-                    continue
-                block_end = int(nl[take - 1]) + 1
-                block = data[:block_end]
-                carry = data[block_end:]
-                starts = np.concatenate([[0], nl[:take - 1] + 1])
-                rec_offs = starts[0::3] + base
-                metas = list(_META_RE.finditer(block))
-                if len(metas) != take // 3:
-                    raise ValueError(
-                        f"{path}: irregular pindel text (blank lines or "
-                        "non-3-line records); streaming index unsupported")
-                for m, ro in zip(metas, rec_offs.tolist()):
-                    key = m.group(1)
-                    cid = chrom_ids.get(key)
-                    if cid is None:
-                        cid = chrom_ids[key] = len(chrom_ids)
-                    chroms.append(cid)
-                    poss.append(int(m.group(2)))
-                    offs.append(ro)
-                base += block_end
-        if carry.strip():
-            raise ValueError(f"{path}: trailing partial record")
-        return (np.asarray(chroms, np.int32), np.asarray(poss, np.int64),
-                np.asarray(offs, np.int64))
+                if not data:
+                    break
+                cnt, consumed, fields, names, _tags = _pt_scan(data, final)
+                rec_off = fields[0]     # record byte offsets in `data`
+                pos = fields[6]
+                cid = fields[9]
+                if cnt:
+                    if int(cid.min()) < 0:
+                        raise ValueError(
+                            f"{path}: irregular pindel text (blank lines "
+                            "or short records); streaming unsupported")
+                    # map chunk-local chrom ids into the global table
+                    remap = np.empty(len(names), np.int32)
+                    for j, nm in enumerate(names):
+                        gi = chrom_ids.get(nm)
+                        if gi is None:
+                            gi = chrom_ids[nm] = len(chrom_ids)
+                        remap[j] = gi
+                    chrom_out.append(remap[cid])
+                    pos_out.append(pos.copy())
+                    off_out.append(rec_off + base)
+                carry = data[consumed:]
+                base += consumed
+                if final:
+                    if carry.strip():
+                        raise ValueError(
+                            f"{path}: trailing partial record")
+                    break
+        if not chrom_out:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))
+        return (np.concatenate(chrom_out),
+                np.concatenate(pos_out).astype(np.int64),
+                np.concatenate(off_out).astype(np.int64))
 
     def _handle(self, fid: int):
         if self._handles[fid] is None:
@@ -137,9 +231,8 @@ class PindelTextIndex:
             return []
         sel_f = fid[lo:hi]
         sel_o = off[lo:hi]
-        order = np.lexsort((sel_o, sel_f))
         out: List[SplitRead] = []
-        for f in np.unique(sel_f[order]).tolist():
+        for f in np.unique(sel_f).tolist():
             offs = np.sort(sel_o[sel_f == f])
             out.extend(self._parse_records(int(f), offs))
         return out
@@ -153,7 +246,7 @@ class PindelTextIndex:
                                                         fo.size - 1)],
                        self.sizes[fid])
         fh = self._handle(fid)
-        lines: List[str] = []
+        parts: List[bytes] = []
         k = 0
         n = offs.size
         while k < n:
@@ -161,12 +254,6 @@ class PindelTextIndex:
             while j + 1 < n and offs[j + 1] == nxt[j]:
                 j += 1
             fh.seek(int(offs[k]))
-            blob = fh.read(int(nxt[j] - offs[k]))
-            part = blob.decode("ascii").split("\n")
-            if part and part[-1] == "":
-                part.pop()
-            lines.extend(part)
+            parts.append(fh.read(int(nxt[j] - offs[k])))
             k = j + 1
-        if len(lines) % 3 != 0:
-            raise ValueError("record framing error in streaming intake")
-        return _read_pindel_batch(lines)
+        return records_from_buffer(b"".join(parts))

@@ -38,6 +38,8 @@ def main() -> int:
     ap.add_argument("--chrom-len", type=int, default=1_200_000)
     ap.add_argument("--noise", type=int, default=3000)
     ap.add_argument("--dist", choices=["files", "jax"], default="files")
+    ap.add_argument("--record", action="store_true",
+                    help="write the result into MULTIHOST_BENCH.json")
     args = ap.parse_args()
 
     import jax
@@ -100,11 +102,26 @@ def main() -> int:
             return 1
 
     speedup = t1 / tn
-    print(json.dumps({"t1": round(t1, 2), "tN": round(tn, 2),
-                      "hosts": args.hosts,
-                      "reads": n_reads,
-                      "speedup": round(speedup, 3),
-                      "efficiency": round(speedup / args.hosts, 3)}))
+    result = {"t1": round(t1, 2), "tN": round(tn, 2),
+              "hosts": args.hosts,
+              "reads": n_reads,
+              "dist": args.dist,
+              "speedup": round(speedup, 3),
+              "efficiency": round(speedup / args.hosts, 3)}
+    print(json.dumps(result))
+    if args.record:
+        # recorded artifact (VERDICT r4 item 5): one entry per host
+        # count, gated by tools/perf_gate.py --multihost
+        path = os.path.join(REPO, "MULTIHOST_BENCH.json")
+        data = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                data = json.load(fh)
+        data[str(args.hosts)] = result
+        with open(path, "w") as fh:
+            json.dump(data, fh, indent=2)
+            fh.write("\n")
+        print(f"recorded to {path}", file=sys.stderr)
     return 0
 
 

@@ -18,7 +18,37 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BUDGET = os.path.join(REPO, "PERF_BUDGET.json")
 
 
+def gate_multihost() -> int:
+    """--multihost: run the 2-host scaling bench at the loaded scene
+    (BASELINE.md bar: >=80% efficiency at 2 hosts), record the artifact,
+    enforce the floor."""
+    with open(BUDGET) as fh:
+        budget = json.load(fh)
+    floor = budget.get("min_multihost_efficiency", 0.8)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "multihost_bench.py"),
+         "--hosts", "2", "--events", "240", "--noise", "24000",
+         "--chrom-len", "4800000", "--record"],
+        capture_output=True, text=True, timeout=3600)
+    sys.stderr.write(r.stderr[-2000:])
+    if r.returncode != 0:
+        print("multihost bench failed", file=sys.stderr)
+        return 1
+    line = r.stdout.strip().splitlines()[-1]
+    result = json.loads(line)
+    print(line)
+    eff = result.get("efficiency", 0)
+    if eff < floor:
+        print(f"PERF GATE FAILED: 2-host efficiency {eff} < {floor}",
+              file=sys.stderr)
+        return 1
+    print(f"multihost gate ok: efficiency {eff} >= {floor}")
+    return 0
+
+
 def main() -> int:
+    if "--multihost" in sys.argv:
+        return gate_multihost()
     with open(BUDGET) as fh:
         budget = json.load(fh)
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
