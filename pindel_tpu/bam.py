@@ -55,6 +55,10 @@ def _lib():
     lib = native.load("ptbam", ["bamio.cpp"])
     lib.ptbam_open.restype = ctypes.c_void_p
     lib.ptbam_open.argtypes = [ctypes.c_char_p]
+    lib.ptbam_open_stream.restype = ctypes.c_void_p
+    lib.ptbam_open_stream.argtypes = [ctypes.c_char_p]
+    lib.ptbam_resident_records.restype = ctypes.c_int64
+    lib.ptbam_resident_records.argtypes = [ctypes.c_void_p]
     lib.ptbam_error.restype = ctypes.c_char_p
     lib.ptbam_error.argtypes = [ctypes.c_void_p]
     lib.ptbam_close.argtypes = [ctypes.c_void_p]
@@ -113,10 +117,23 @@ def _lib():
 class BamReader:
     """One parsed BAM file, window-queryable."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, streamed: bool = True):
+        """``streamed`` (default): only the current window's records are
+        resident — the first pass builds a block index and per-window
+        queries re-decode just the needed BGZF members (the reference
+        shape: per-window htslib range queries, reader.cpp:483-559).
+        ``streamed=False`` decodes the whole file up front (fastest for
+        repeated whole-file scans; also the PINDEL_TPU_BAM_WHOLEFILE=1
+        escape hatch)."""
+        import os
+        if os.environ.get("PINDEL_TPU_BAM_WHOLEFILE"):
+            streamed = False
         self.path = path
+        self.streamed = streamed
         self._lib = _lib()
-        self._h = self._lib.ptbam_open(path.encode())
+        opener = (self._lib.ptbam_open_stream if streamed
+                  else self._lib.ptbam_open)
+        self._h = opener(path.encode())
         err = self._lib.ptbam_error(self._h).decode()
         if err:
             self._lib.ptbam_close(self._h)

@@ -61,10 +61,22 @@ struct Record {
   int64_t isize;
 };
 
+// one entry per BGZF member holding >= 1 record start: raw file offset
+// of the member, uncompressed offset of the first record within it, and
+// that record's (tid, pos) — the same shape as a .bai virtual offset,
+// built by our own first pass so no external index is required
+struct BlockIx {
+  int64_t raw_off;
+  int64_t u_off;
+  int32_t tid;
+  int64_t pos;
+};
+
 struct BamFile {
   std::vector<std::string> ref_names;
   std::vector<int64_t> ref_lens;
-  std::vector<Record> recs;            // file order
+  std::vector<Record> recs;            // file order (whole-file mode) or
+                                       // the cached window (streamed)
   std::string name_pool;
   std::string seq_pool;
   std::string rg_pool;                 // RG aux values
@@ -74,6 +86,15 @@ struct BamFile {
   // records grouped by tid) and max reference span for overlap queries
   std::vector<int64_t> tid_begin, tid_end, tid_max_span;
   std::string error;
+
+  // ---- streamed mode (O(window) memory; reference precedent: htslib
+  // range queries per window, reader.cpp:483-559) ----
+  bool streamed = false;
+  std::string path;
+  std::vector<BlockIx> blocks;
+  int64_t total_records = 0;
+  int32_t cache_tid = -2;              // window cache coverage
+  int64_t cache_lo = 0, cache_hi = 0;
 
   // ---- collect_sr output pools (SoA) ----
   std::string sr_names;                // '\0'-separated
@@ -93,6 +114,92 @@ bool read_exact(gzFile f, void* buf, unsigned n) {
 template <typename T>
 bool read_le(gzFile f, T* v) {
   return read_exact(f, v, sizeof(T));
+}
+
+// Streaming reader over a concatenation of gzip members (BGZF is such a
+// concatenation with 64 KB members) that tracks member boundaries: the
+// raw file offset of the member currently being inflated plus the
+// uncompressed offset within it.  seek() resumes decoding at any member
+// start, which is what makes window-ranged BAM queries possible without
+// an external .bai.
+class GzMembers {
+ public:
+  explicit GzMembers(const char* path) : in_(1 << 20) {
+    f_ = fopen(path, "rb");
+    if (!f_) return;
+    memset(&zs_, 0, sizeof(zs_));
+    ok_ = inflateInit2(&zs_, 15 + 16) == Z_OK;
+  }
+  ~GzMembers() {
+    if (ok_) inflateEnd(&zs_);
+    if (f_) fclose(f_);
+  }
+  bool ok() const { return ok_ && f_; }
+  int64_t member_off() const { return member_off_; }
+  int64_t u_off() const { return u_off_; }
+
+  bool read(void* dst, size_t n) {
+    uint8_t* out = static_cast<uint8_t*>(dst);
+    while (n > 0) {
+      if (in_pos_ == in_len_ && !fill()) return false;
+      zs_.next_in = in_.data() + in_pos_;
+      zs_.avail_in = static_cast<unsigned>(in_len_ - in_pos_);
+      zs_.next_out = out;
+      zs_.avail_out = static_cast<unsigned>(n);
+      int rc = inflate(&zs_, Z_NO_FLUSH);
+      in_pos_ += (in_len_ - in_pos_) - zs_.avail_in;
+      size_t produced = n - zs_.avail_out;
+      out += produced;
+      n -= produced;
+      u_off_ += produced;
+      if (rc == Z_STREAM_END) {
+        member_off_ = raw_base_ + static_cast<int64_t>(in_pos_);
+        u_off_ = 0;
+        if (inflateReset(&zs_) != Z_OK) return false;
+      } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
+        return false;
+      }
+    }
+    return true;
+  }
+
+  bool skip(size_t n) {
+    uint8_t tmp[4096];
+    while (n > 0) {
+      size_t k = n > sizeof(tmp) ? sizeof(tmp) : n;
+      if (!read(tmp, k)) return false;
+      n -= k;
+    }
+    return true;
+  }
+
+  bool seek(int64_t raw_off) {
+    if (fseek(f_, static_cast<long>(raw_off), SEEK_SET) != 0) return false;
+    in_pos_ = in_len_ = 0;
+    raw_base_ = member_off_ = raw_off;
+    u_off_ = 0;
+    return inflateReset(&zs_) == Z_OK;
+  }
+
+ private:
+  bool fill() {
+    raw_base_ += static_cast<int64_t>(in_len_);
+    in_pos_ = 0;
+    in_len_ = fread(in_.data(), 1, in_.size(), f_);
+    return in_len_ > 0;
+  }
+  FILE* f_ = nullptr;
+  z_stream zs_;
+  bool ok_ = false;
+  std::vector<uint8_t> in_;
+  size_t in_pos_ = 0, in_len_ = 0;
+  int64_t raw_base_ = 0, member_off_ = 0, u_off_ = 0;
+};
+
+// streamed-mode tid sort key: unmapped (-1) sorts last, as in
+// coordinate-sorted BAMs
+inline int64_t tid_key(int32_t tid) {
+  return tid < 0 ? static_cast<int64_t>(1) << 40 : tid;
 }
 
 // Parse aux data for NM (returns -1 when absent) and RG (appended to
@@ -150,48 +257,49 @@ int32_t parse_aux(const uint8_t* aux, const uint8_t* end, Record* r,
   return nm;
 }
 
-}  // namespace
-
-extern "C" {
-
-void* ptbam_open(const char* path) {
-  auto* bf = new BamFile();
-  gzFile f = gzopen(path, "rb");
-  if (!f) {
-    bf->error = "cannot open file";
-    return bf;
-  }
-  gzbuffer(f, 1 << 20);
+// Parse the BAM header (magic, SAM text, reference dictionary) from a
+// member stream.  Returns false when the magic is wrong.
+bool parse_header(GzMembers& src, BamFile* bf) {
   char magic[4];
-  if (!read_exact(f, magic, 4) || memcmp(magic, "BAM\1", 4) != 0) {
-    bf->error = "not a BAM file";
-    gzclose(f);
-    return bf;
-  }
+  if (!src.read(magic, 4) || memcmp(magic, "BAM\1", 4) != 0) return false;
   int32_t l_text;
-  read_le(f, &l_text);
+  if (!src.read(&l_text, 4)) return false;
   std::vector<char> text(l_text);
-  if (l_text) read_exact(f, text.data(), l_text);
+  if (l_text && !src.read(text.data(), l_text)) return false;
   bf->header_text.assign(text.data(), l_text);
   int32_t n_ref;
-  read_le(f, &n_ref);
+  if (!src.read(&n_ref, 4)) return false;
   for (int32_t i = 0; i < n_ref; i++) {
     int32_t l_name, l_ref;
-    read_le(f, &l_name);
+    if (!src.read(&l_name, 4)) return false;
     std::vector<char> nm(l_name);
-    read_exact(f, nm.data(), l_name);
-    read_le(f, &l_ref);
+    if (!src.read(nm.data(), l_name)) return false;
+    if (!src.read(&l_ref, 4)) return false;
     bf->ref_names.emplace_back(nm.data());
     bf->ref_lens.push_back(l_ref);
   }
+  return true;
+}
 
-  std::vector<uint8_t> buf;
+// Read the next record's bytes; (*m_off, *u_off) get the member-stream
+// position of its first byte.  1 = record in buf, 0 = EOF/truncation.
+int read_record(GzMembers& src, std::vector<uint8_t>* buf,
+                int64_t* m_off, int64_t* u_off) {
+  *m_off = src.member_off();
+  *u_off = src.u_off();
   int32_t block_size;
-  while (read_le(f, &block_size)) {
-    if (block_size < 32) break;
-    buf.resize(block_size);
-    if (!read_exact(f, buf.data(), block_size)) break;
-    const uint8_t* p = buf.data();
+  if (!src.read(&block_size, 4)) return 0;
+  if (block_size < 32) return 0;
+  buf->resize(block_size);
+  if (!src.read(buf->data(), block_size)) return 0;
+  return 1;
+}
+
+// Decode one raw record into the BamFile pools (exact reference
+// semantics: bam_cigar2len/bam_cigar2mismatch/HasIndel/isWeirdRead,
+// reader.cpp:661-718, 1318-1346).
+void decode_record(BamFile* bf, const uint8_t* p, int32_t block_size) {
+  {
     Record r{};
     int32_t refid, pos, l_seq, next_refid, next_pos, tlen;
     uint32_t bin_mq_nl, flag_nc;
@@ -288,22 +396,163 @@ void* ptbam_open(const char* path) {
 
     bf->recs.push_back(r);
   }
-  gzclose(f);
+}
 
-  // group index per tid (file order; coordinate-sorted input)
+// Rebuild tid_begin/tid_end/(max_span) from the resident recs.
+void index_tids(BamFile* bf, bool update_span) {
   size_t nt = bf->ref_names.size();
   bf->tid_begin.assign(nt, -1);
   bf->tid_end.assign(nt, -1);
-  bf->tid_max_span.assign(nt, 1);
+  if (update_span) bf->tid_max_span.assign(nt, 1);
   for (size_t i = 0; i < bf->recs.size(); i++) {
     int32_t t = bf->recs[i].tid;
     if (t < 0 || static_cast<size_t>(t) >= nt) continue;
     if (bf->tid_begin[t] < 0) bf->tid_begin[t] = i;
     bf->tid_end[t] = i + 1;
-    int64_t span = bf->recs[i].endpos - bf->recs[i].pos;
-    if (span > bf->tid_max_span[t]) bf->tid_max_span[t] = span;
+    if (update_span) {
+      int64_t span = bf->recs[i].endpos - bf->recs[i].pos;
+      if (span > bf->tid_max_span[t]) bf->tid_max_span[t] = span;
+    }
+  }
+}
+
+// Streamed mode: make [start - max_span, end) of `tid` resident (the
+// window cache every ranged query runs against).  Whole-file mode is a
+// no-op.  Mirrors the reference's per-window htslib range queries
+// (sam_itr_queryi, reader.cpp:483-559) over our own first-pass block
+// index instead of a .bai.
+bool ensure_window(BamFile* bf, int32_t tid, int64_t start, int64_t end) {
+  if (!bf->streamed) return true;
+  if (tid < 0 || static_cast<size_t>(tid) >= bf->ref_names.size())
+    return true;
+  int64_t target = start - bf->tid_max_span[tid];
+  if (bf->cache_tid == tid && bf->cache_lo <= target
+      && bf->cache_hi >= end)
+    return true;
+  bf->recs.clear();
+  bf->name_pool.clear();
+  bf->seq_pool.clear();
+  bf->rg_pool.clear();
+  bf->mseg_pool.clear();
+  bf->cache_tid = tid;
+  bf->cache_lo = target;
+  bf->cache_hi = end;
+  // last block whose first record is <= (tid, target)
+  int64_t want = tid_key(tid);
+  int64_t lo = 0, hi = static_cast<int64_t>(bf->blocks.size());
+  while (lo < hi) {
+    int64_t mid = (lo + hi) / 2;
+    const BlockIx& b = bf->blocks[mid];
+    if (tid_key(b.tid) < want
+        || (tid_key(b.tid) == want && b.pos <= target))
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  index_tids(bf, false);
+  if (lo == 0) {
+    if (bf->blocks.empty()) return true;
+  } else {
+    lo -= 1;
+  }
+  GzMembers src(bf->path.c_str());
+  if (!src.ok()) return false;
+  if (!src.seek(bf->blocks[lo].raw_off)
+      || !src.skip(static_cast<size_t>(bf->blocks[lo].u_off)))
+    return false;
+  std::vector<uint8_t> buf;
+  int64_t m_off, u_off;
+  while (read_record(src, &buf, &m_off, &u_off) == 1) {
+    int32_t rtid, rpos;
+    memcpy(&rtid, buf.data(), 4);
+    memcpy(&rpos, buf.data() + 4, 4);
+    if (tid_key(rtid) < want || (rtid == tid && rpos < target)) continue;
+    if (tid_key(rtid) > want || rpos >= end) break;
+    decode_record(bf, buf.data(), static_cast<int32_t>(buf.size()));
+  }
+  index_tids(bf, false);
+  if (bf->tid_begin[tid] < 0) {
+    // empty window: keep the range queryable (zero-length span)
+    bf->tid_begin[tid] = 0;
+    bf->tid_end[tid] = 0;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+static void* ptbam_open_mode(const char* path, int streamed) {
+  auto* bf = new BamFile();
+  bf->streamed = streamed != 0;
+  bf->path = path;
+  GzMembers src(path);
+  if (!src.ok()) {
+    bf->error = "cannot open file";
+    return bf;
+  }
+  if (!parse_header(src, bf)) {
+    bf->error = "not a BAM file";
+    return bf;
+  }
+  size_t nt = bf->ref_names.size();
+  std::vector<uint8_t> buf;
+  int64_t m_off, u_off;
+  if (!streamed) {
+    while (read_record(src, &buf, &m_off, &u_off) == 1)
+      decode_record(bf, buf.data(), static_cast<int32_t>(buf.size()));
+    index_tids(bf, true);
+    bf->total_records = static_cast<int64_t>(bf->recs.size());
+    return bf;
+  }
+  // streamed pass 1: block index + per-tid max span, records not kept
+  bf->tid_begin.assign(nt, -1);
+  bf->tid_end.assign(nt, -1);
+  bf->tid_max_span.assign(nt, 1);
+  int64_t last_member = -1;
+  while (read_record(src, &buf, &m_off, &u_off) == 1) {
+    const uint8_t* p = buf.data();
+    int32_t rtid, rpos;
+    uint32_t bin_mq_nl, flag_nc;
+    memcpy(&rtid, p, 4);
+    memcpy(&rpos, p + 4, 4);
+    memcpy(&bin_mq_nl, p + 8, 4);
+    memcpy(&flag_nc, p + 12, 4);
+    if (m_off != last_member) {
+      bf->blocks.push_back(BlockIx{m_off, u_off, rtid, rpos});
+      last_member = m_off;
+    }
+    bf->total_records++;
+    if (rtid >= 0 && static_cast<size_t>(rtid) < nt) {
+      uint8_t l_read_name = bin_mq_nl & 0xff;
+      uint16_t n_cigar = flag_nc & 0xffff;
+      uint16_t flag = flag_nc >> 16;
+      const uint8_t* cig = p + 32 + l_read_name;
+      int64_t ref_span = 0;
+      for (uint16_t k = 0; k < n_cigar; k++) {
+        uint32_t cv;
+        memcpy(&cv, cig + 4 * k, 4);
+        uint32_t op = cv & 0xf;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+          ref_span += cv >> 4;
+      }
+      bool mapped = !(flag & FLAG_UNMAP);
+      int64_t span = (mapped && ref_span > 0) ? ref_span : 1;
+      if (span > bf->tid_max_span[rtid]) bf->tid_max_span[rtid] = span;
+    }
   }
   return bf;
+}
+
+void* ptbam_open(const char* path) { return ptbam_open_mode(path, 0); }
+
+void* ptbam_open_stream(const char* path) {
+  return ptbam_open_mode(path, 1);
+}
+
+int64_t ptbam_resident_records(void* h) {
+  return static_cast<BamFile*>(h)->recs.size();
 }
 
 const char* ptbam_error(void* h) {
@@ -325,7 +574,7 @@ int64_t ptbam_ref_len(void* h, int32_t tid) {
 }
 
 int64_t ptbam_n_records(void* h) {
-  return static_cast<BamFile*>(h)->recs.size();
+  return static_cast<BamFile*>(h)->total_records;
 }
 
 namespace {
@@ -409,6 +658,7 @@ int64_t ptbam_collect_sr(void* h, int32_t tid, int64_t start, int64_t end,
                          int32_t min_qual, int32_t nm_cutoff,
                          double mm_rate, int64_t biol_size) {
   auto* bf = static_cast<BamFile*>(h);
+  ensure_window(bf, tid, start, end);
   bf->sr_names.clear();
   bf->sr_seqs.clear();
   bf->sr_pos.clear();
@@ -474,6 +724,7 @@ int64_t ptbam_collect_sr(void* h, int32_t tid, int64_t start, int64_t end,
 int64_t ptbam_collect_rp(void* h, int32_t tid, int64_t start, int64_t end,
                          int32_t min_qual, int64_t insert_size) {
   auto* bf = static_cast<BamFile*>(h);
+  ensure_window(bf, tid, start, end);
   bf->ref_pos.clear();      // reuse pools: pos
   bf->sr_pos.clear();       // mpos
   bf->sr_ms.clear();        // mtid
@@ -527,6 +778,7 @@ int64_t ptbam_collect_rp(void* h, int32_t tid, int64_t start, int64_t end,
 int64_t ptbam_collect_rp_gt(void* h, int32_t tid, int64_t start,
                             int64_t end, int64_t insert_size) {
   auto* bf = static_cast<BamFile*>(h);
+  ensure_window(bf, tid, start, end);
   bf->ref_pos.clear();      // pos
   bf->sr_pos.clear();       // mpos
   bf->sr_ms.clear();        // mtid
@@ -569,6 +821,7 @@ int64_t ptbam_collect_rp_gt(void* h, int32_t tid, int64_t start,
 int64_t ptbam_collect_dd(void* h, int32_t tid, int64_t start, int64_t end,
                          int64_t insert_size, int64_t min_dd_map_distance) {
   auto* bf = static_cast<BamFile*>(h);
+  ensure_window(bf, tid, start, end);
   bf->ref_pos.clear();      // pos
   bf->sr_pos.clear();       // mpos
   bf->sr_ms.clear();        // mtid
@@ -626,6 +879,7 @@ int64_t ptbam_collect_dd(void* h, int32_t tid, int64_t start, int64_t end,
 int64_t ptbam_depth_sum(void* h, int32_t tid, int64_t beg, int64_t end,
                         int32_t min_mapq) {
   auto* bf = static_cast<BamFile*>(h);
+  ensure_window(bf, tid, beg, end);
   if (tid < 0 || static_cast<size_t>(tid) >= bf->ref_names.size()
       || bf->tid_begin[tid] < 0 || end <= beg)
     return 0;

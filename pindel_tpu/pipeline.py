@@ -167,12 +167,12 @@ class Pipeline:
 
     # ------------------------------------------------------------------ io
     def _try_stream(self, files: List[str]) -> bool:
-        """Streaming byte-offset intake for plain-text inputs: memory is
-        O(16 B/read index + one window's reads) instead of the whole
-        materialized read set (textindex.py; VERDICT r3 item 8).  gz or
-        irregular files fall back to the in-RAM loader."""
-        if not self.settings.stream_text_input \
-                or any(f.endswith(".gz") for f in files):
+        """Streaming byte-offset intake for pindel-text inputs: memory
+        is O(16 B/read index + one window's reads) instead of the whole
+        materialized read set (textindex.py).  gz inputs are spilled
+        decompressed to scratch disk once and indexed there; irregular
+        files fall back to the in-RAM loader."""
+        if not self.settings.stream_text_input:
             return False
         from pindel_tpu.textindex import PindelTextIndex
         try:
@@ -579,10 +579,27 @@ class Pipeline:
                                 window.current_end + SPACER)
         self._update_ref_coverage(ref_reads, window)
         g_read_stats.in_window += len(reads)
+
+        def bd_regions(read):
+            regs = []
+            for chr_name, w_start, w_end in \
+                    self.bd.cluster_for(read.last_abs_loc_close_end()):
+                c = self.genome.get(chr_name)
+                if c is None:
+                    raise ValueError(f"BD window chromosome {chr_name} "
+                                     "not in reference")
+                regs.append((c, w_start, w_end))
+            return regs
+
+        bd_cb = bd_regions if (self.bd.events
+                               or self.bd.events_external) else None
         if kept is None:
+            # stream: finalize each close chunk as it lands and dispatch
+            # its far kernels (BD windows first) while later close
+            # chunks still execute
             with g_timer.phase("Matching close ends"):
-                self.searcher.map_close_ends_finish(token)
-                kept = self.searcher.finalize_close_ends(reads)
+                kept, far_tokens = self.searcher.close_far_stream(
+                    chrom, token, bd_regions=bd_cb)
         from pindel_tpu.reads import PLUS
         if self.spool is not None and self.spool.worker and not kept:
             # coordinator still waits (and needs the evidence delta)
@@ -608,28 +625,11 @@ class Pipeline:
                               f"\t{r.ms}\t{r.insert_size}"
                               f"\t{r.tag}\n")
             if not s.report_only_close_mapped_reads:
-                def bd_regions(read):
-                    regs = []
-                    for chr_name, w_start, w_end in \
-                            self.bd.cluster_for(
-                                read.last_abs_loc_close_end()):
-                        c = self.genome.get(chr_name)
-                        if c is None:
-                            raise ValueError(
-                                f"BD window chromosome {chr_name} "
-                                "not in reference")
-                        regs.append((c, w_start, w_end))
-                    return regs
-
                 if far_tokens is not None:
-                    # deep pipeline: kernels already dispatched (no BD)
+                    # far kernels already dispatched per close chunk
                     with g_timer.phase("Searching far ends"):
                         for ft in far_tokens:
                             self.searcher.search_far_ends_finish(ft)
-                elif token is not _DELEGATED:
-                    with g_timer.phase("Searching far ends"):
-                        self.searcher.search_far_ends(
-                            chrom, kept, bd_regions=bd_regions)
                 from pindel_tpu.reads import MINUS as _M, PLUS as _P
                 for r in kept:
                     fa = r.up_far

@@ -174,11 +174,16 @@ class Searcher:
         pending = self.backend.close_ends_dispatch(active, s.min_close)
         return (chrom, reads, active, pending)
 
-    def close_far_stream(self, chrom: Chromosome, close_token):
-        """Streamed deep-pipeline step: as each close-end chunk's device
+    def close_far_stream(self, chrom: Chromosome, close_token,
+                         bd_regions=None):
+        """Streamed pipeline step: as each close-end chunk's device
         results land, finalize its reads and immediately dispatch their
         far-end kernels — far execution overlaps the remaining close
-        chunks.  Returns (kept reads in order, list of far tokens)."""
+        chunks.  With ``bd_regions`` the chunk's BreakDancer-window
+        rounds run first (they gate the geometric escalation set, as in
+        SearchFarEnd pindel.cpp:1001-1074), riding the same device queue
+        as the still-executing close chunks.  Returns (kept reads in
+        order, list of far tokens)."""
         chrom_, reads, active, tok = close_token
         if tok is None or not hasattr(self.backend,
                                       "close_ends_decode_stream"):
@@ -186,7 +191,8 @@ class Searcher:
             kept = self.finalize_close_ends(reads)
             if not kept or self.settings.report_only_close_mapped_reads:
                 return kept, []
-            return kept, [self.search_far_ends_async(chrom, kept)]
+            return kept, [self.search_far_ends_async(chrom, kept,
+                                                     bd_regions)]
         kept_all: List[SplitRead] = []
         far_tokens = []
         only_close = self.settings.report_only_close_mapped_reads
@@ -197,7 +203,8 @@ class Searcher:
             kept = self.finalize_close_ends(sub)
             kept_all.extend(kept)
             if kept and not only_close:
-                far_tokens.append(self.search_far_ends_async(chrom, kept))
+                far_tokens.append(self.search_far_ends_async(chrom, kept,
+                                                             bd_regions))
         return kept_all, far_tokens
 
     def map_close_ends_finish(self, token) -> None:
@@ -340,15 +347,26 @@ class Searcher:
             self._far_geometric(chrom, active, self.backend)
 
     def search_far_ends_async(self, chrom: Chromosome,
-                              reads: Sequence[SplitRead]):
+                              reads: Sequence[SplitRead],
+                              bd_regions=None):
         """Dispatch geometric far-end kernels without blocking (fused
-        backends, no BD windows); token for ``search_far_ends_finish``.
-        Used by the pipeline's deep window pipelining."""
+        backends); token for ``search_far_ends_finish``.  BreakDancer
+        evidence windows run first (synchronously — their kernels still
+        queue behind any in-flight close chunks on the device, and they
+        gate the geometric set, SearchFarEnd pindel.cpp:1001-1074)."""
         s = self.settings
         active = [r for r in reads
                   if not r.mapper_split and r.up_close
                   and r.seq_codes()[0] != dna.N
                   and not r.good_far_end_found()]
+        if bd_regions is not None:
+            with_bd = [(r, bd_regions(r)) for r in active]
+            with_bd = [(r, regs) for r, regs in with_bd if regs]
+            if with_bd:
+                self._far_round([r for r, _ in with_bd],
+                                [regs for _, regs in with_bd])
+                active = [r for r in active
+                          if not r.good_far_end_found()]
         if not (hasattr(self.backend, "far_ends_dispatch")
                 and s.max_range_index <= 4):
             return (chrom, active, None, None)

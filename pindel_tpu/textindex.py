@@ -121,10 +121,22 @@ def records_from_buffer(blob: bytes) -> List[SplitRead]:
 
 class PindelTextIndex:
     """(chrom -> position-sorted (pos, file_id, offset)) over one or
-    more plain-text pindel files (a -P config is a file list)."""
+    more pindel text files (a -P config is a file list).
+
+    gz inputs are decompressed ONCE into a spill file and indexed there
+    (gz offers no random access), so per-window memory stays O(window)
+    at the cost of scratch disk — the reference's gz_line_reader instead
+    rewinds and re-decompresses the whole file every window
+    (gz_line_reader.cpp)."""
 
     def __init__(self, paths: List[str]):
-        self.paths = list(paths)
+        self.paths = []
+        self._spills: List[str] = []
+        for path in paths:
+            if path.endswith(".gz"):
+                self.paths.append(self._spill_gz(path))
+            else:
+                self.paths.append(path)
         self._handles: List = [None] * len(self.paths)
         chrom_ids: Dict[str, int] = {}
         chrom_l: List[np.ndarray] = []
@@ -205,6 +217,22 @@ class PindelTextIndex:
                 np.concatenate(pos_out).astype(np.int64),
                 np.concatenate(off_out).astype(np.int64))
 
+    def _spill_gz(self, path: str) -> str:
+        """Stream-decompress a gz input into a scratch file (one pass,
+        bounded memory) and index that instead."""
+        import gzip
+        import tempfile
+        fd, spill = tempfile.mkstemp(prefix="pindel_tpu_gz_",
+                                     suffix=".txt")
+        with gzip.open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
+            while True:
+                chunk = src.read(_CHUNK)
+                if not chunk:
+                    break
+                dst.write(chunk)
+        self._spills.append(spill)
+        return spill
+
     def _handle(self, fid: int):
         if self._handles[fid] is None:
             self._handles[fid] = open(self.paths[fid], "rb")
@@ -215,6 +243,12 @@ class PindelTextIndex:
             if h is not None:
                 h.close()
         self._handles = [None] * len(self.paths)
+        for spill in self._spills:
+            try:
+                os.unlink(spill)
+            except OSError:
+                pass
+        self._spills = []
 
     def window_reads(self, chrom_name: str, start: int, end: int
                      ) -> List[SplitRead]:

@@ -99,3 +99,28 @@ def test_streaming_multi_file_config_order(tmp_path):
     assert [r.name for r in reads] == ["@a0", "@a1", "@b0", "@b1"]
     assert idx.max_pos == 900
     idx.close()
+
+
+def test_gz_input_streams_via_spill(tmp_path):
+    """gz pindel text: decompressed once into a scratch spill, indexed
+    there — reports byte-identical to the plain-text run, spill removed
+    on close (VERDICT r4 item 10; reference gz_line_reader.cpp instead
+    re-decompresses the whole file every window)."""
+    import glob
+    import gzip
+    import tempfile
+    fa, txt = _scene(tmp_path)
+    gz = txt + ".gz"
+    with open(txt, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    _run(fa, txt, os.path.join(str(tmp_path), "plain"), stream=True)
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(),
+                                        "pindel_tpu_gz_*")))
+    _run(fa, gz, os.path.join(str(tmp_path), "gz"), stream=True)
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(),
+                                       "pindel_tpu_gz_*")))
+    assert after == before, "gz spill file leaked"
+    for suf in ("D", "SI", "TD", "INV", "LI", "CloseEndMapped"):
+        a = open(os.path.join(str(tmp_path), f"plain_{suf}")).read()
+        b = open(os.path.join(str(tmp_path), f"gz_{suf}")).read()
+        assert a == b, f"_{suf} diverges for gz input"
