@@ -382,7 +382,69 @@ def _reverse_codes_np(codes: np.ndarray, qlen: np.ndarray) -> np.ndarray:
 # --------------------------------------------------- payload pack/unpack
 # Uploads ride a ~30 MB/s tunnel, so each chunk ships ONE int8 payload:
 # 4-bit-packed base codes (2 bases/byte) followed by bit-packed per-read
-# metadata (3 int32 words for close, 4 for far).
+# metadata (3 int32 words for close, 4 for far).  The pack itself runs
+# in native code (native/packer.cpp) — it sits on the dispatch critical
+# path.
+
+_PACKLIB = None
+
+
+def _packer():
+    global _PACKLIB
+    if _PACKLIB is None:
+        import ctypes
+
+        from pindel_tpu import native
+        lib = native.load("ptpack", ["packer.cpp"], link=())
+        for fn in ("pt_pack_close", "pt_pack_far"):
+            getattr(lib, fn).argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p]
+        lib.pt_codes.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        _PACKLIB = lib
+    return _PACKLIB
+
+
+def _seq_blob(reads, nb: int):
+    """(concatenated latin-1 sequence bytes, int64 offsets[nb+1])."""
+    blob = "".join(r.seq for r in reads).encode("latin-1")
+    offs = np.zeros(nb + 1, np.int64)
+    np.cumsum(np.fromiter((len(r.seq) for r in reads), np.int64, nb),
+              out=offs[1:])
+    return blob, offs
+
+
+def _ptr(a: np.ndarray):
+    import ctypes
+    return ctypes.c_void_p(a.ctypes.data)
+
+
+def _native_pack_close(blob: bytes, offs: np.ndarray, nb: int, b: int,
+                       lmax: int, meta32: np.ndarray) -> np.ndarray:
+    out = np.empty((b, lmax + 4 * meta32.shape[1]), np.int8)
+    m = np.ascontiguousarray(meta32.astype("<i4"))
+    _packer().pt_pack_close(blob, _ptr(offs), nb, b, lmax, _ptr(m),
+                            m.shape[1], _ptr(out))
+    return out
+
+
+def _native_pack_far(blob: bytes, offs: np.ndarray, nb: int, b: int,
+                     lmax: int, meta32: np.ndarray) -> np.ndarray:
+    out = np.empty((b, lmax // 2 + 4 * meta32.shape[1]), np.int8)
+    m = np.ascontiguousarray(meta32.astype("<i4"))
+    _packer().pt_pack_far(blob, _ptr(offs), nb, b, lmax, _ptr(m),
+                          m.shape[1], _ptr(out))
+    return out
+
+
+def _native_codes(blob: bytes, offs: np.ndarray, nb: int, b: int,
+                  lmax: int) -> np.ndarray:
+    out = np.empty((b, lmax), np.int8)
+    _packer().pt_codes(blob, _ptr(offs), nb, b, lmax, _ptr(out))
+    return out
 
 def _pack_payload(codes: np.ndarray, meta32: np.ndarray) -> np.ndarray:
     """[b, lmax] int8 codes + [b, K] int32 meta -> [b, lmax//2+4K] int8."""
@@ -1056,10 +1118,10 @@ class FusedJaxBackend:
         t0 = time.monotonic()
         nb = len(reads)
         b = _b_bucket(nb, self.B_BUCKETS)
+        blob, offs = _seq_blob(reads, nb)
         qlen = np.zeros(b, np.int32)
-        qlen[:nb] = [len(r.seq) for r in reads]
+        qlen[:nb] = np.diff(offs)
         lmax = _round_up(max(int(qlen.max()), 8), 128)
-        codes = self._pack_codes(reads, nb, b, lmax)
         minus = np.zeros(b, bool)
         pos = np.zeros(b, np.int64)
         isz = np.zeros(b, np.int64)
@@ -1081,8 +1143,8 @@ class FusedJaxBackend:
         w1 = self._w_bucket(max(int((win[1, :, 1] - win[1, :, 0]).max()), 1))
         qlen[nb:] = 1                      # padding rows: never active
         st = dict(dev=None, base=base, nb=nb, b=b, qlen=qlen,
-                  codes=codes, minus=minus, win=win, w0=w0, w1=w1,
-                  lmax=lmax, bp_start=bp_start,
+                  blob=blob, offs=offs, minus=minus, win=win, w0=w0,
+                  w1=w1, lmax=lmax, bp_start=bp_start,
                   lsteps=_round_up(int(qlen[:nb].max()), 16))
         if w0 + lmax > SPACER:
             # huge mate-pair insert sizes make even the range-0 window
@@ -1104,9 +1166,7 @@ class FusedJaxBackend:
                 results[base + i] = (None, -1, True)
             return st
         meta = _close_meta(pos, isz, qlen, ms, tm, thr, minus)
-        payload = _pack_payload(
-            np.concatenate([codes, _reverse_codes_np(codes, qlen)],
-                           axis=1), meta)
+        payload = _native_pack_close(blob, offs, nb, b, lmax, meta)
         t1 = time.monotonic()
         g_timer.add("fused: pack close", t1 - t0)
         st["dev"] = self._close_call(
@@ -1148,17 +1208,19 @@ class FusedJaxBackend:
 
         def _decode():
             t3 = time.monotonic()
+            codes = _native_codes(st["blob"], st["offs"], nb, st["b"],
+                                  lmax)
             r0 = np.flatnonzero(winner < 2)
             if r0.size:
                 self._decode_close_rows(
                     st, results, r0, emit[r0], rep[r0], winner[r0],
-                    uniform[r0], st["qlen"], st["codes"], st["minus"],
+                    uniform[r0], st["qlen"], codes, st["minus"],
                     st["win"][0], st["w0"], flip=(winner[r0] == 1))
             r1 = np.flatnonzero((winner == 2) | (winner == 3))
             if r1.size:
                 self._decode_close_rows(
                     st, results, r1, emit[r1], rep[r1], winner[r1],
-                    uniform[r1], st["qlen"], st["codes"], st["minus"],
+                    uniform[r1], st["qlen"], codes, st["minus"],
                     st["win"][1], st["w1"], flip=(winner[r1] == 2))
             g_timer.add("fused: decode close", time.monotonic() - t3)
 
@@ -1256,11 +1318,10 @@ class FusedJaxBackend:
         nb = len(reads)
         b = _b_bucket(nb, self.B_BUCKETS)
         nr = len(spans)
+        blob, offs = _seq_blob(reads, nb)
         qlen = np.zeros(b, np.int32)
-        qlen[:nb] = [len(r.seq) for r in reads]
+        qlen[:nb] = np.diff(offs)
         lmax = _round_up(max(int(qlen.max()), 8), 128)
-        # current (maybe close-end-flipped) sequences, one encode pass
-        codes = self._pack_codes(reads, nb, b, lmax)
         close_max = np.zeros(b, np.int32)
         init_max = np.zeros(b, np.int32)
         center = np.zeros(b, np.int64)
@@ -1286,7 +1347,7 @@ class FusedJaxBackend:
             "read length exceeds far-meta bit packing"
         meta = _far_meta(center, qlen, close_max, init_max, ms, tm, thr,
                          comp_size)
-        payload = _pack_payload(codes, meta)
+        payload = _native_pack_far(blob, offs, nb, b, lmax, meta)
 
         t1 = time.monotonic()
         g_timer.add("fused: pack far", t1 - t0)
@@ -1297,13 +1358,14 @@ class FusedJaxBackend:
             lsteps=_round_up(int(qlen[:nb].max()), 16))
         _copy_to_host_async([dev])
         g_timer.add("fused: dispatch far", time.monotonic() - t1)
-        return dict(dev=dev, base=base, nb=nb, b=b, qlen=qlen, codes=codes,
-                    wins=wins, ws=ws, lmax=lmax)
+        return dict(dev=dev, base=base, nb=nb, b=b, qlen=qlen, blob=blob,
+                    offs=offs, wins=wins, ws=ws, lmax=lmax)
 
     def _far_decode(self, st, results):
         from pindel_tpu.profiling import g_timer
         base, nb, lmax = st["base"], st["nb"], st["lmax"]
-        qlen, codes, wins, ws = st["qlen"], st["codes"], st["wins"], st["ws"]
+        qlen, wins, ws = st["qlen"], st["wins"], st["ws"]
+        codes = _native_codes(st["blob"], st["offs"], nb, st["b"], lmax)
         t2 = time.monotonic()
         out = np.asarray(jax.device_get(st["dev"]))
         g_timer.add(f"fused: far wait ws={tuple(ws)} b={st['b']}",
