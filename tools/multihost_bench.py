@@ -40,6 +40,9 @@ def main() -> int:
     ap.add_argument("--dist", choices=["files", "jax"], default="files")
     ap.add_argument("--record", action="store_true",
                     help="write the result into MULTIHOST_BENCH.json")
+    ap.add_argument("--bam", action="store_true",
+                    help="BAM input + BreakDancer evidence scene (the "
+                         "sharded RP->BD chain under --hosts)")
     args = ap.parse_args()
 
     import jax
@@ -68,8 +71,42 @@ def main() -> int:
           f"window 100 kb", file=sys.stderr)
 
     from pindel_tpu.__main__ import main as cli
-    base = ["-f", fa, "-p", txt, "-w", "0.1", "-l", "-s",
-            "--backend", "fused"]
+    if args.bam:
+        # convert the text scene to a paired BAM + a BD file naming
+        # each event, so every rank runs the full RP->BD evidence chain
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from bamwriter import write_bam
+        from test_bam_channel import _pair
+        lines = open(txt).read().splitlines()
+        recs = []
+        for i in range(0, len(lines), 3):
+            name, seq, meta = lines[i], lines[i + 1], lines[i + 2].split()
+            dstr, pos, mq = meta[0], int(meta[2]), int(meta[3])
+            anchor_pos = pos if dstr == "+" else pos - 100
+            if anchor_pos < 0 or anchor_pos + 100 > len(ref):
+                continue
+            recs.extend(_pair(name[1:-2], anchor_pos, seq, ref,
+                              anchor_reverse=(dstr == "-"), mapq=mq))
+        recs.sort(key=lambda r: r.pos)
+        bam = os.path.join(d, "reads.bam")
+        write_bam(bam, [("chrM", len(ref))], recs)
+        cfg = os.path.join(d, "bam.cfg")
+        with open(cfg, "w") as fh:
+            fh.write(f"{bam}\t500\tS1\n")
+        bd = os.path.join(d, "bd.txt")
+        with open(bd, "w") as fh:
+            fh.write("#chr1\tpos1\tori1\tchr2\tpos2\tori2\ttype\tsize"
+                     "\tscore\n")
+            for ev in events:
+                if ev.kind in ("DEL", "DI", "INV", "TD"):
+                    fh.write(f"chrM\t{ev.pos}\t20+20-\tchrM\t"
+                             f"{ev.pos + ev.size}\t18+19-\t{ev.kind}\t"
+                             f"{ev.size}\t99\n")
+        base = ["-f", fa, "-i", cfg, "-b", bd, "-w", "0.1", "-s",
+                "--backend", "fused"]
+    else:
+        base = ["-f", fa, "-p", txt, "-w", "0.1", "-l", "-s",
+                "--backend", "fused"]
 
     # a simulated "host" = one disjoint CPU share: the single-process
     # baseline runs on one share, each of the N processes on its own —
@@ -94,7 +131,9 @@ def main() -> int:
     os.sched_setaffinity(0, all_cpus)
     print(f"hosts={args.hosts}: {tn:.2f}s", file=sys.stderr)
 
-    for suf in ("D", "SI", "TD", "INV", "LI", "CloseEndMapped"):
+    sufs = ("D", "SI", "TD", "INV", "CloseEndMapped", "RP") if args.bam \
+        else ("D", "SI", "TD", "INV", "LI", "CloseEndMapped")
+    for suf in sufs:
         single = open(os.path.join(d, f"single_{suf}")).read()
         multi = open(os.path.join(d, f"multi_{suf}")).read()
         if single != multi:
@@ -106,6 +145,7 @@ def main() -> int:
               "hosts": args.hosts,
               "reads": n_reads,
               "dist": args.dist,
+              "scene": "bam+bd" if args.bam else "text",
               "speedup": round(speedup, 3),
               "efficiency": round(speedup / args.hosts, 3)}
     print(json.dumps(result))
@@ -117,7 +157,8 @@ def main() -> int:
         if os.path.exists(path):
             with open(path) as fh:
                 data = json.load(fh)
-        data[str(args.hosts)] = result
+        key = f"{args.hosts}-bam" if args.bam else str(args.hosts)
+        data[key] = result
         with open(path, "w") as fh:
             json.dump(data, fh, indent=2)
             fh.write("\n")
