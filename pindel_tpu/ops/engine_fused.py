@@ -1062,12 +1062,14 @@ class FusedJaxBackend:
     LEAD = 8192
 
     def _chunk_plan(self, n: int) -> List[Tuple[int, int]]:
-        """(lo, hi) chunks: a small leading chunk when the batch spills
-        over one chunk, so the host's decode stream starts after the
-        first small kernel instead of the first full-size one."""
+        """(lo, hi) chunks: a small leading chunk whenever the batch
+        exceeds it, so the host's decode stream (and the per-chunk far
+        dispatch behind it) starts after the first small kernel instead
+        of the first full-size one — this also overlaps the tail
+        window's close decode with its remaining close chunk."""
         if n == 0:
             return []
-        if n <= self.CHUNK:
+        if n <= self.LEAD:
             return [(0, n)]
         plan = [(0, self.LEAD)]
         lo = self.LEAD

@@ -207,7 +207,13 @@ def run_files_multihost(reference_fa: str, pindel_file: Optional[str],
     if os.environ.get("PINDEL_TPU_CPU_SHARD"):
         cpus = sorted(os.sched_getaffinity(0))
         per = max(len(cpus) // num_hosts, 1)
-        cpu_shards = [cpus[r * per:(r + 1) * per] for r in range(num_hosts)]
+        if num_hosts <= len(cpus):
+            cpu_shards = [cpus[r * per:(r + 1) * per]
+                          for r in range(num_hosts)]
+        else:
+            # more simulated hosts than cores: round-robin (hosts share
+            # cores; measured efficiency then understates a real pod)
+            cpu_shards = [[cpus[r % len(cpus)]] for r in range(num_hosts)]
         os.sched_setaffinity(0, cpu_shards[0])
     procs = []
     for rank in range(1, num_hosts):

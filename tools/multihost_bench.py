@@ -146,6 +146,7 @@ def main() -> int:
               "reads": n_reads,
               "dist": args.dist,
               "scene": "bam+bd" if args.bam else "text",
+              "physical_cpus": len(os.sched_getaffinity(0)),
               "speedup": round(speedup, 3),
               "efficiency": round(speedup / args.hosts, 3)}
     print(json.dumps(result))
