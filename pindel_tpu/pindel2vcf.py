@@ -508,12 +508,17 @@ class VcfGenome:
         if name is not None:
             self._seqs[name] = self._finish(parts)
 
-    @staticmethod
-    def _finish(parts: List[str]) -> str:
-        seq = "".join(parts).upper()
-        seq = "".join(c if c in "ACGTN" else "N"
-                      for c in seq if c.isalpha())
-        return "N" + seq
+    # one-pass sanitize: letters upper-cased with non-ACGTN -> N,
+    # non-letters dropped (the per-char generator this replaces was 90%
+    # of converter wall at 6 Mb)
+    _SANITIZE = str.maketrans({
+        c: ((chr(c).upper() if chr(c).upper() in "ACGTN" else "N")
+            if chr(c).isalpha() else None)
+        for c in range(256)})
+
+    @classmethod
+    def _finish(cls, parts: List[str]) -> str:
+        return "N" + "".join(parts).translate(cls._SANITIZE)
 
     def get(self, name: str) -> str:
         return self._seqs.get(name, "")
@@ -836,7 +841,16 @@ class Converter:
                         and svd.chromosome == chrom_id
                         and region_start <= svd.get_position() < region_end):
                     svs.append(svd)
-            svs.sort(key=SVRecord.sort_key)
+            # the reference sorts with UNSTABLE std::sort
+            # (pindel2vcf.cpp:2287) under operator< on (chrom, position,
+            # svlen) only — records tying on all three (e.g. a tandem
+            # duplication and an insertion of the same length at one
+            # position) land in introsort's permutation order, which
+            # cxx_sort replicates exactly
+            from pindel_tpu.cxxsort import cxx_sort
+            for sv in svs:
+                sv._k = sv.sort_key()
+            cxx_sort(svs, lambda a, b: a._k < b._k)
             for i, sv in enumerate(svs):
                 if i != len(svs) - 1 and self.through_filter(sv):
                     out.write(sv.vcf_line(self.pindel024u_or_later) + "\n")

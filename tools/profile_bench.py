@@ -43,6 +43,7 @@ def main() -> int:
     ap.add_argument("--backend", default="fused")
     ap.add_argument("--cprofile", action="store_true")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--threads", type=int, default=1)
     ap.add_argument("--sort", default="cumulative")
     args = ap.parse_args()
 
@@ -63,6 +64,7 @@ def main() -> int:
         t0 = time.time()
         s = Settings()
         s.profile = True
+        s.num_threads = args.threads
         s.analyze_li = True                   # -l (matches bench.py)
         s.analyze_bp = True                   # -k
         s.report_close_mapped_reads = True    # -s
