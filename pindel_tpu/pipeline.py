@@ -442,9 +442,14 @@ class Pipeline:
             # N+1's close kernels are dispatched and window N-1 is
             # detected/reported on host.  Otherwise stay 1-deep (close
             # prefetch only) to preserve the sequential BD/RP semantics.
-            deep = (sp is None and not self.bam_input
-                    and not self.bd.events
-                    and not self.bd.events_external)
+            # Deep pipelining now covers the BD/RP evidence configs too:
+            # the stage step runs window N+1's RP->BD update + mask
+            # rasterization before its far dispatch (the sequential
+            # order the reference uses within a window), and the process
+            # step re-installs window N's evidence state for reporting
+            # (BD state is per-window — see bddata.update_bd).  Only the
+            # multihost spool stays 1-deep (worker dumps are ordered).
+            deep = sp is None
             while True:
                 wsnap = _WindowSnap(window.current_start,
                                     window.current_end,
@@ -505,16 +510,52 @@ class Pipeline:
             self._outputs["INT"].flush()
         merge_inter_chr(self.settings.out("INT"))
 
+    def _bd_regions_cb(self, chrom: Chromosome):
+        """Far-end evidence-window callback over the CURRENT bd mask, or
+        None when no BD/RP events exist."""
+        if not (self.bd.events or self.bd.events_external):
+            return None
+
+        def bd_regions(read):
+            regs = []
+            for chr_name, w_start, w_end in \
+                    self.bd.cluster_for(read.last_abs_loc_close_end()):
+                c = self.genome.get(chr_name)
+                if c is None:
+                    raise ValueError(f"BD window chromosome {chr_name} "
+                                     "not in reference")
+                regs.append((c, w_start, w_end))
+            return regs
+
+        return bd_regions
+
     def _search_stage(self, pending, chrom: Chromosome):
-        """Deep-pipelining half-step: stream the window's close-end
-        results chunk by chunk, dispatching each chunk's far-end kernels
-        as soon as it is finalized (far execution overlaps the remaining
-        close chunks on device); reporting happens one iteration later
-        (only valid with no BD/RP/spool state — see run())."""
+        """Deep-pipelining half-step: run the window's RP->BD evidence
+        update (the within-window order the reference uses:
+        pindel.cpp:1838-1852 UpdateBD -> loadRegion -> search), then
+        stream its close-end results chunk by chunk, dispatching each
+        chunk's far-end kernels (BD windows first) as soon as it is
+        finalized — far execution overlaps the remaining close chunks on
+        device.  Reporting happens one iteration later; the stage runs
+        strictly in window order, so _RP writes here stay ordered."""
         window, reads, ref_reads, token = pending
+        s = self.settings
+        bd_delta = None
+        if self.bam_input and s.search_discordant_read_pair:
+            with g_timer.phase("bd: rp discovery"):
+                rp, rp_inter = self._window_rp_discovery(chrom, window)
+            with g_timer.phase("bd: update"):
+                bd_delta = self.bd.update_bd(
+                    rp, rp_inter, self._out("RP"),
+                    s.report_interchromosomal_events)
+        with g_timer.phase("bd: load region"):
+            self.bd.load_region(chrom.name,
+                                window.current_start + SPACER,
+                                window.current_end + SPACER)
         with g_timer.phase("Matching close ends"):
-            kept, far_tokens = self.searcher.close_far_stream(chrom, token)
-        return (window, reads, ref_reads, kept, far_tokens)
+            kept, far_tokens = self.searcher.close_far_stream(
+                chrom, token, bd_regions=self._bd_regions_cb(chrom))
+        return (window, reads, ref_reads, kept, far_tokens, bd_delta)
 
     def _process_window(self, pending, chrom: Chromosome, chr_seq: str,
                         box_size: int, num_boxes: int,
@@ -522,8 +563,11 @@ class Pipeline:
         """Host stages of one window, in window order (the close-end
         device work was dispatched when the window was read in)."""
         s = self.settings
-        if len(pending) == 5:       # deep pipeline: search already staged
-            window, reads, ref_reads, kept, far_tokens = pending
+        staged_delta = None
+        staged = len(pending) == 6  # deep pipeline: search already staged
+        if staged:
+            window, reads, ref_reads, kept, far_tokens, staged_delta = \
+                pending
             token = None
         else:
             window, reads, ref_reads, token = pending
@@ -554,7 +598,17 @@ class Pipeline:
         bd_delta = None
         rp_text = ""
         with_rp = self.bam_input and s.search_discordant_read_pair
-        if token is _DELEGATED:
+        if staged:
+            # the stage step already ran this window's RP->BD update
+            # (and wrote its _RP lines, in window order); re-install its
+            # evidence state for the reporters (-Q confirmation, RD
+            # filters) — the stage of window N+1 has since overwritten
+            # the shared mask
+            bd_delta = staged_delta
+            if with_rp:
+                with g_timer.phase("bd: update"):
+                    self.bd.apply_bd_delta(bd_delta or [])
+        elif token is _DELEGATED:
             with g_timer.phase("Matching close ends"):
                 # close+far anchors computed by a peer process
                 kept, bd_delta, rp_text = self.spool.load(window.index)
@@ -579,27 +633,13 @@ class Pipeline:
                                 window.current_end + SPACER)
         self._update_ref_coverage(ref_reads, window)
         g_read_stats.in_window += len(reads)
-
-        def bd_regions(read):
-            regs = []
-            for chr_name, w_start, w_end in \
-                    self.bd.cluster_for(read.last_abs_loc_close_end()):
-                c = self.genome.get(chr_name)
-                if c is None:
-                    raise ValueError(f"BD window chromosome {chr_name} "
-                                     "not in reference")
-                regs.append((c, w_start, w_end))
-            return regs
-
-        bd_cb = bd_regions if (self.bd.events
-                               or self.bd.events_external) else None
         if kept is None:
             # stream: finalize each close chunk as it lands and dispatch
             # its far kernels (BD windows first) while later close
             # chunks still execute
             with g_timer.phase("Matching close ends"):
                 kept, far_tokens = self.searcher.close_far_stream(
-                    chrom, token, bd_regions=bd_cb)
+                    chrom, token, bd_regions=self._bd_regions_cb(chrom))
         from pindel_tpu.reads import PLUS
         if self.spool is not None and self.spool.worker and not kept:
             # coordinator still waits (and needs the evidence delta)
