@@ -212,8 +212,9 @@ def main() -> int:
 
     cold_dt = run_ours(fa, reads_txt, os.path.join(workdir, "ours_cold"))
     print(f"ours cold (incl. compile): {cold_dt:.2f}s", file=sys.stderr)
+    # median of 5: the tunnel's latency varies run to run
     warms = [run_ours(fa, reads_txt, os.path.join(workdir, "ours"))
-             for _ in range(3)]
+             for _ in range(5)]
     warm_dt = statistics.median(warms)
     print(f"ours warm: median {warm_dt:.2f}s of {[f'{w:.2f}' for w in warms]}"
           f"  ({n_reads / warm_dt:.1f} reads/s)", file=sys.stderr)
@@ -247,7 +248,7 @@ def main() -> int:
         # the first timed run (median-of-3 should measure steady state)
         run_ours_bam(fa2, cfg2, bd2, os.path.join(workdir, "ours2_warm"))
         w2 = [run_ours_bam(fa2, cfg2, bd2, os.path.join(workdir, "ours2"))
-              for _ in range(3)]
+              for _ in range(5)]
         warm2 = statistics.median(w2)
         print(f"ours scene2: median {warm2:.2f}s of "
               f"{[f'{w:.2f}' for w in w2]}", file=sys.stderr)
