@@ -27,7 +27,28 @@ def _bool_flag(ap, *names, default: bool = False, dest=None, help=None):
                     type=_unary, dest=dest, help=help, metavar="[T/F]")
 
 
+def _honor_platform_override() -> None:
+    """Make JAX_PLATFORMS / PINDEL_TPU_JAX_PLATFORMS effective for the
+    CLI: the axon bootstrap (sitecustomize) pins its own platform
+    programmatically, so the env var alone is ignored — mirror the
+    tests/conftest.py override here so ``JAX_PLATFORMS=cpu python -m
+    pindel_tpu ...`` really runs on CPU."""
+    import os
+    plat = (os.environ.get("PINDEL_TPU_JAX_PLATFORMS")
+            or os.environ.get("JAX_PLATFORMS"))
+    if not plat:
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", plat)
+        from jax.extend.backend import clear_backends
+        clear_backends()
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _honor_platform_override()
     ap = argparse.ArgumentParser(
         prog="pindel_tpu",
         description="TPU-native structural variant discovery "
