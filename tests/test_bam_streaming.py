@@ -118,3 +118,48 @@ def test_streamed_equals_wholefile_real_bam():
     got_w = _collect_all(whole, chrom, length, windows)
     got_s = _collect_all(stream, chrom, length, windows)
     assert got_s == got_w
+
+
+def test_streamed_multi_chromosome(tmp_path):
+    """tid boundaries: streamed windows on a 3-chromosome BAM (including
+    one with no records) must match the whole-file decode — the block
+    index spans tids and ensure_window must not bleed records across
+    them."""
+    import dataclasses
+
+    from bamwriter import write_bam
+
+    from pindel_tpu.bam import BamReader
+    from pindel_tpu.testing.simulate import random_seq
+    from test_bam_channel import _pair
+    rng = np.random.default_rng(5)
+    refs = {"chrA": random_seq(rng, 40_000), "chrC": random_seq(rng, 30_000)}
+    names = ["chrA", "chrB", "chrC"]          # chrB stays empty
+    lens = {"chrA": 40_000, "chrB": 5_000, "chrC": 30_000}
+    recs = []
+    for tid, name in enumerate(names):
+        if name not in refs:
+            continue
+        ref = refs[name]
+        for k in range(60):
+            pos = 500 + k * ((len(ref) - 1200) // 60)
+            frag = ref[pos + 150:pos + 250]
+            pair = _pair(f"r{name}{k}", pos, frag, ref, mapq=60)
+            recs.extend(dataclasses.replace(r, tid=tid, mate_tid=tid)
+                        for r in pair)
+    bam = os.path.join(str(tmp_path), "multi.bam")
+    write_bam(bam, [(n, lens[n]) for n in names], recs)
+    whole = BamReader(bam, streamed=False)
+    stream = BamReader(bam, streamed=True)
+    assert stream.ref_names == names
+    for name in names:
+        length = lens[name]
+        windows = [(s, min(s + 8_000, length))
+                   for s in range(0, length, 8_000)]
+        got_w = _collect_all(whole, name, length, windows)
+        got_s = _collect_all(stream, name, length, windows)
+        assert got_s == got_w, name
+    # jumping back to an earlier chromosome re-materializes correctly
+    a_again_w = _collect_all(whole, "chrA", lens["chrA"], [(0, 8_000)])
+    a_again_s = _collect_all(stream, "chrA", lens["chrA"], [(0, 8_000)])
+    assert a_again_s == a_again_w
