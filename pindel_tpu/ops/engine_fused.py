@@ -796,7 +796,9 @@ def decode_chains(chrom_codes: np.ndarray, emit: np.ndarray,
     step_mm = ~dna.matches(q, ref)
     step_mm[:, 0] = False                                   # seed step
     step_mm &= l < ql[:, None]
-    cum = np.cumsum(step_mm, axis=1, dtype=np.int64)        # mm of q[0:l+1]
+    # mm of q[0:l+1]; counts are bounded by lmax so int32 suffices (the
+    # consumers upcast into their own int64 columns)
+    cum = np.cumsum(step_mm, axis=1, dtype=np.int32)
     full = cum[np.arange(idx.size), np.maximum(ql - 1, 0)]
 
     # split the emitted (row, length) pairs per read in one pass

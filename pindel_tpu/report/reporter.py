@@ -1135,15 +1135,29 @@ LI_DASH = "-" * 56
 
 
 class _ShiftedCounts:
-    """Clamped-index window arrays (reference shifted_vector.h:40-55)."""
+    """Clamped-index window arrays (reference shifted_vector.h:40-55).
+
+    The three window-length buffers (~60 MB at 5 Mb windows) are reused
+    across windows — faulting in fresh pages every window was a
+    measurable slice of the LI phase."""
+
+    _cache = None
 
     def __init__(self, lo: int, hi: int):
         self.lo = lo
         self.hi = hi                           # inclusive, like the reference
         n = hi - lo + 1
-        self.plus = np.zeros(n, dtype=np.int32)
-        self.minus = np.zeros(n, dtype=np.int32)
-        self.event = np.full(n, -1, dtype=np.int32)
+        c = _ShiftedCounts._cache
+        if c is not None and c[0].shape[0] >= n:
+            self.plus, self.minus, self.event = (a[:n] for a in c)
+            self.plus[:] = 0
+            self.minus[:] = 0
+            self.event[:] = -1
+        else:
+            self.plus = np.zeros(n, dtype=np.int32)
+            self.minus = np.zeros(n, dtype=np.int32)
+            self.event = np.full(n, -1, dtype=np.int32)
+            _ShiftedCounts._cache = (self.plus, self.minus, self.event)
 
     def clamp(self, pos: int) -> int:
         return min(max(pos, self.lo), self.hi) - self.lo

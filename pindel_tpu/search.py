@@ -128,7 +128,7 @@ def _anchorset_from_chain(chain, dir_minus: bool, strand_minus: bool,
     n = chain.lengths.shape[0]
     zero8 = _ZERO8_POOL[:n] if n <= _POOL_N else np.zeros(n, np.int8)
     a = AnchorSet(chain.lengths, chain.abs_loc,
-                  chain.mm.astype(np.int64, copy=False),
+                  chain.mm,     # int32 counts; consumers upcast as needed
                   _const_bool(dir_minus, n),
                   _const_bool(strand_minus, n),
                   [chr_name], zero8)
