@@ -75,10 +75,15 @@ def main() -> int:
               f"target {target} ({'MET' if vsb >= target else f'{vsb/target:.0%} of target'})")
     else:
         print(f"perf gate ok: vs_baseline {vsb} >= {floor}")
-    # ratchet: a regression below 90% of the best recorded result fails
-    # the next gate run even if it clears the hand-set floor
-    new_floor = round(max(floor, 0.9 * vsb), 3)
-    new_floor2 = round(max(floor2 or 0, 0.9 * s2), 3)
+    # ratchet: a regression well below the best recorded result fails
+    # the next gate run even if it clears the hand-set floor.  0.75x
+    # (not 0.9x) because the box itself swings ~+/-20%: across four
+    # serialized identical-code runs on 2026-08-21 the reference's own
+    # single-core time moved 11.76s-13.51s and vs_baseline 4.6-6.3
+    # (BENCH_local_r5.json) — a 0.9x ratchet would false-fail on
+    # machine state alone.
+    new_floor = round(max(floor, 0.75 * vsb), 3)
+    new_floor2 = round(max(floor2 or 0, 0.75 * s2), 3)
     if new_floor > floor or new_floor2 > (floor2 or 0):
         budget["min_vs_baseline"] = new_floor
         budget["min_scene2_vs_baseline"] = new_floor2
