@@ -1071,7 +1071,9 @@ class FusedJaxBackend:
         window's close decode with its remaining close chunk."""
         if n == 0:
             return []
-        if n <= self.LEAD:
+        # a sub-512-row second chunk costs more in tunnel round-trips
+        # (~3 RPCs) than its padding costs in kernel time
+        if n <= self.LEAD or n - self.LEAD < 512:
             return [(0, n)]
         plan = [(0, self.LEAD)]
         lo = self.LEAD
