@@ -145,24 +145,24 @@ class RaggedAnchors:
         np.cumsum(nc, out=self.cl_off[1:])
         np.cumsum(nf, out=self.fa_off[1:])
         tc, tf = int(self.cl_off[n]), int(self.fa_off[n])
-        self.cl_len = np.empty(tc, np.int64)
-        self.cl_loc = np.empty(tc, np.int64)
-        self.cl_mm = np.empty(tc, np.int64)
-        self.fa_len = np.empty(tf, np.int64)
-        self.fa_loc = np.empty(tf, np.int64)
-        self.fa_mm = np.empty(tf, np.int64)
-        self.fa_dm = np.empty(tf, np.uint8)
-        for k, (_, r) in enumerate(pairs):
-            cl, fa = r.up_close, r.up_far
-            c0, c1 = self.cl_off[k], self.cl_off[k + 1]
-            f0, f1 = self.fa_off[k], self.fa_off[k + 1]
-            self.cl_len[c0:c1] = cl.length
-            self.cl_loc[c0:c1] = cl.loc
-            self.cl_mm[c0:c1] = cl.mm
-            self.fa_len[f0:f1] = fa.length
-            self.fa_loc[f0:f1] = fa.loc
-            self.fa_mm[f0:f1] = fa.mm
-            self.fa_dm[f0:f1] = fa.dir_minus
+        # bulk concatenates (one C pass per column) instead of a
+        # per-read slice-assignment loop; the native selector consumes
+        # int64/uint8, so cast once per column
+        cl_sets = [r.up_close for _, r in pairs]
+        fa_sets = [r.up_far for _, r in pairs]
+
+        def cat(arrs, total, dtype):
+            if not arrs:
+                return np.empty(total, dtype)
+            return np.concatenate(arrs).astype(dtype, copy=False)
+
+        self.cl_len = cat([c.length for c in cl_sets], tc, np.int64)
+        self.cl_loc = cat([c.loc for c in cl_sets], tc, np.int64)
+        self.cl_mm = cat([c.mm for c in cl_sets], tc, np.int64)
+        self.fa_len = cat([f.length for f in fa_sets], tf, np.int64)
+        self.fa_loc = cat([f.loc for f in fa_sets], tf, np.int64)
+        self.fa_mm = cat([f.mm for f in fa_sets], tf, np.int64)
+        self.fa_dm = cat([f.dir_minus for f in fa_sets], tf, np.uint8)
         first_c = self.cl_off[:-1]
         last_c = np.maximum(self.cl_off[1:] - 1, 0)
         first_f = self.fa_off[:-1]

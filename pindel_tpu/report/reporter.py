@@ -1277,6 +1277,23 @@ def sort_output_li(reads: List[SplitRead], chr_seq: str, window_start: int,
     t_scan = time.monotonic()
     li_events: List[List] = []
     minus_cands = np.flatnonzero(sv.minus >= cutoff) + lo
+    # Vectorized fast-reject: a candidate whose surroundings hold no
+    # masked 'B' anywhere the body could consult ([im-11, im+40] covers
+    # both the direct lookup and every inner-loop lookup, since im only
+    # grows when a B exists) and no plus pileup >= cutoff in
+    # [im-1, im+30] runs the Python body to no effect — it emits
+    # nothing and its pos = im+1 can never skip a later (strictly
+    # larger) candidate.  Only the others need the exact loop.
+    if minus_cands.size:
+        bp = prevb.b_positions
+        has_b = (np.searchsorted(bp, minus_cands + 40, "right")
+                 > np.searchsorted(bp, minus_cands - 11, "left"))
+        pge = np.zeros(sv.plus.shape[0] + 1, np.int64)
+        np.cumsum(sv.plus >= cutoff, out=pge[1:])
+        a_idx = np.clip(minus_cands - 1, lo, hi) - lo
+        b_idx = np.clip(minus_cands + 30, lo, hi) - lo
+        has_p = (pge[b_idx + 1] - pge[a_idx]) > 0
+        minus_cands = minus_cands[has_b | has_p]
     pos = lo
     for cand in minus_cands:
         im = int(cand)
