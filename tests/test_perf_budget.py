@@ -21,9 +21,12 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from make_fai import make_fai  # noqa: E402
 
-# generous: ~25x the measured warm wall (0.12 s for 760 reads) so CI
-# noise never trips it while a 10x algorithmic regression still does
-HOST_BUDGET_SECONDS = 5.0
+# generous: ~100x the measured warm wall (0.12 s for 760 reads) so CI /
+# shared-host noise never trips it (the box swings +/-20% and has stalled
+# for minutes at a time — BENCH_local_r5.json) while a 100x algorithmic
+# regression (the class this guards against: accidental O(reads x
+# windows) rescans, per-read python loops) still fails loudly
+HOST_BUDGET_SECONDS = 12.0
 
 
 def test_host_layers_within_budget(tmp_path):
