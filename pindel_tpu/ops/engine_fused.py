@@ -1060,7 +1060,7 @@ class FusedJaxBackend:
     # chunk starts the host decode stream early when the batch spills.
     # Each chunk costs ~4 tunnel round-trips (~40 ms each) regardless of
     # size, so chunks stay as big as the ladder allows.
-    CHUNK = 16384
+    CHUNK = 32768
     LEAD = 8192
 
     def _chunk_plan(self, n: int) -> List[Tuple[int, int]]:
