@@ -273,34 +273,41 @@ class BamReader:
         inter: list = []
         if not n:
             return same, inter
-        # pools reused by the native side: pos / mpos / mtid / mapq / len
-        pos = self._lib.ptbam_ref_read_pos(self._h)
-        mpos = self._lib.ptbam_sr_pos(self._h)
-        mtid = self._lib.ptbam_sr_ms(self._h)
-        lens = self._lib.ptbam_ref_read_len(self._h)
-        strands = self._lib.ptbam_sr_dir(self._h)
+        # pools reused by the native side: pos / mpos / mtid / mapq / len;
+        # bulk-copy to python lists once (per-element ctypes pointer
+        # indexing and dataclasses.replace dominated this loop)
+        import numpy as np
+        pos = np.ctypeslib.as_array(
+            self._lib.ptbam_ref_read_pos(self._h), (n,)).tolist()
+        mpos = np.ctypeslib.as_array(
+            self._lib.ptbam_sr_pos(self._h), (n,)).tolist()
+        mtid = np.ctypeslib.as_array(
+            self._lib.ptbam_sr_ms(self._h), (n,)).tolist()
+        lens = np.ctypeslib.as_array(
+            self._lib.ptbam_ref_read_len(self._h), (n,)).tolist()
+        strands = np.ctypeslib.as_array(
+            self._lib.ptbam_sr_dir(self._h), (n,)).tolist()
+        nref = len(self.ref_names)
         for i in range(n):
             da = "-" if strands[i] & 1 else "+"
             db = "-" if strands[i] & 2 else "+"
-            pa, pb = int(pos[i]), int(mpos[i])
-            chr_b = self.ref_names[mtid[i]] \
-                if 0 <= mtid[i] < len(self.ref_names) else ""
+            pa, pb = pos[i], mpos[i]
+            chr_b = self.ref_names[mtid[i]] if 0 <= mtid[i] < nref else ""
+            if chr_b == chrom_name and pa >= pb:
+                # PosA < PosB normalization (reader.cpp:1061-1090)
+                same.append(RPRead(
+                    chr_name_a=chr_b, chr_name_b=chrom_name,
+                    da=db, db=da, pos_a=pb, pos_b=pa,
+                    original_pos_a=pb, original_pos_b=pa,
+                    insert_size=insert_size, read_length=lens[i],
+                    tag=tag, tags=[tag]))
+                continue
             r = RPRead(chr_name_a=chrom_name, chr_name_b=chr_b,
                        da=da, db=db, pos_a=pa, pos_b=pb,
                        original_pos_a=pa, original_pos_b=pb,
-                       insert_size=insert_size, read_length=int(lens[i]),
+                       insert_size=insert_size, read_length=lens[i],
                        tag=tag, tags=[tag])
-            if chr_b == chrom_name:
-                if pa < pb:
-                    same.append(r)
-                else:
-                    import dataclasses as _dc
-                    same.append(_dc.replace(
-                        r, da=db, db=da, pos_a=pb, pos_b=pa,
-                        original_pos_a=pb, original_pos_b=pa,
-                        chr_name_a=chr_b, chr_name_b=chrom_name))
-            else:
-                inter.append(r)
+            (same if chr_b == chrom_name else inter).append(r)
         return same, inter
 
     def collect_rp_gt(self, chrom_name: str, start: int, end: int,
