@@ -113,3 +113,58 @@ void pt_codes(const char* seqs, const int64_t* offs, int64_t n,
 }
 
 }  // extern "C"
+
+// Variants taking per-read (absolute offset, length) pairs into an
+// arbitrary byte buffer (the raw record blob of the lazy text-intake
+// batch) instead of a contiguous concatenation.
+
+extern "C" {
+
+void pt_pack_close_at(const char* buf, const int64_t* off,
+                      const int64_t* len, int64_t n, int64_t b,
+                      int64_t lmax, const int32_t* meta32, int64_t nmeta,
+                      int8_t* out) {
+  const int64_t row_bytes = lmax + 4 * nmeta;
+  const uint8_t NN = 4 | (4 << 4);
+  for (int64_t i = 0; i < b; i++) {
+    int8_t* row = out + i * row_bytes;
+    if (i >= n) {
+      memset(row, NN, lmax);
+    } else {
+      const char* s = buf + off[i];
+      int64_t q = len[i];
+      int64_t half = lmax / 2;
+      for (int64_t k = 0; k < half; k++) {
+        int64_t j0 = 2 * k, j1 = 2 * k + 1;
+        uint8_t lo = j0 < q ? code_of(s[j0]) : 4;
+        uint8_t hi = j1 < q ? code_of(s[j1]) : 4;
+        row[k] = static_cast<int8_t>(lo | (hi << 4));
+      }
+      for (int64_t k = 0; k < half; k++) {
+        int64_t j0 = 2 * k, j1 = 2 * k + 1;
+        uint8_t lo = j0 < q ? code_of(s[q - 1 - j0]) : 4;
+        uint8_t hi = j1 < q ? code_of(s[q - 1 - j1]) : 4;
+        row[half + k] = static_cast<int8_t>(lo | (hi << 4));
+      }
+    }
+    memcpy(row + lmax, meta32 + i * nmeta, 4 * nmeta);
+  }
+}
+
+void pt_codes_at(const char* buf, const int64_t* off, const int64_t* len,
+                 int64_t n, int64_t b, int64_t lmax, int8_t* out) {
+  for (int64_t i = 0; i < b; i++) {
+    int8_t* row = out + i * lmax;
+    if (i >= n) {
+      memset(row, 4, lmax);
+      continue;
+    }
+    const char* s = buf + off[i];
+    int64_t q = len[i];
+    int64_t j = 0;
+    for (; j < q && j < lmax; j++) row[j] = code_of(s[j]);
+    for (; j < lmax; j++) row[j] = 4;
+  }
+}
+
+}  // extern "C"

@@ -404,6 +404,14 @@ def _packer():
         lib.pt_codes.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        lib.pt_pack_close_at.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.pt_codes_at.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p]
         _PACKLIB = lib
     return _PACKLIB
 
@@ -444,6 +452,26 @@ def _native_codes(blob: bytes, offs: np.ndarray, nb: int, b: int,
                   lmax: int) -> np.ndarray:
     out = np.empty((b, lmax), np.int8)
     _packer().pt_codes(blob, _ptr(offs), nb, b, lmax, _ptr(out))
+    return out
+
+
+def _native_pack_close_at(blob: bytes, off: np.ndarray, ln: np.ndarray,
+                          nb: int, b: int, lmax: int,
+                          meta32: np.ndarray) -> np.ndarray:
+    """pt_pack_close over per-read (offset, length) pairs into an
+    arbitrary record buffer (lazy ReadBatch path)."""
+    out = np.empty((b, lmax + 4 * meta32.shape[1]), np.int8)
+    m = np.ascontiguousarray(meta32.astype("<i4"))
+    _packer().pt_pack_close_at(blob, _ptr(off), _ptr(ln), nb, b, lmax,
+                               _ptr(m), m.shape[1], _ptr(out))
+    return out
+
+
+def _native_codes_at(blob: bytes, off: np.ndarray, ln: np.ndarray,
+                     nb: int, b: int, lmax: int) -> np.ndarray:
+    out = np.empty((b, lmax), np.int8)
+    _packer().pt_codes_at(blob, _ptr(off), _ptr(ln), nb, b, lmax,
+                          _ptr(out))
     return out
 
 def _pack_payload(codes: np.ndarray, meta32: np.ndarray) -> np.ndarray:
@@ -1082,6 +1110,18 @@ class FusedJaxBackend:
             lo += self.CHUNK
         return plan
 
+    def close_ends_dispatch_lazy(self, batch, act, bp_start: int):
+        """Batch-array dispatch over a lazy ReadBatch: ``act`` holds the
+        batch row indices of the active reads (non-empty sequences), in
+        window order."""
+        n = act.size
+        results = [(None, -1, False)] * n
+        pending = []
+        for lo, hi in self._chunk_plan(n):
+            pending.append(self._close_dispatch_batch(
+                batch, act[lo:hi], lo, results, bp_start))
+        return results, pending
+
     def close_ends_dispatch(self, reads, bp_start: int):
         """Async half of close_ends: ONE launch per chunk evaluates the
         whole 4-attempt schedule (ranges merged on device with range-0
@@ -1119,15 +1159,11 @@ class FusedJaxBackend:
             yield st["base"], st["base"] + st["nb"], results
 
     def _close_dispatch(self, reads, base: int, results, bp_start: int):
-        from pindel_tpu.genome import SPACER
-        from pindel_tpu.profiling import g_timer
-        t0 = time.monotonic()
         nb = len(reads)
         b = _b_bucket(nb, self.B_BUCKETS)
         blob, offs = _seq_blob(reads, nb)
         qlen = np.zeros(b, np.int32)
         qlen[:nb] = np.diff(offs)
-        lmax = _round_up(max(int(qlen.max()), 8), 128)
         minus = np.zeros(b, bool)
         pos = np.zeros(b, np.int64)
         isz = np.zeros(b, np.int64)
@@ -1135,6 +1171,45 @@ class FusedJaxBackend:
             minus[i] = r.matched_d == "-"
             pos[i] = r.matched_rel_pos
             isz[i] = r.insert_size
+        lmax = _round_up(max(int(qlen.max()), 8), 128)
+        pack_fn = lambda meta: _native_pack_close(blob, offs, nb, b,  # noqa: E731
+                                                  lmax, meta)
+        codes_fn = lambda: _native_codes(blob, offs, nb, b, lmax)  # noqa: E731
+        return self._close_dispatch_core(
+            nb, b, lmax, qlen, minus, pos, isz, base, results, bp_start,
+            pack_fn, codes_fn)
+
+    def _close_dispatch_batch(self, batch, rows, base: int, results,
+                              bp_start: int):
+        """Array-sourced dispatch: a lazy ReadBatch + row indices (no
+        SplitRead objects touched)."""
+        nb = rows.size
+        b = _b_bucket(nb, self.B_BUCKETS)
+        qlen = np.zeros(b, np.int32)
+        qlen[:nb] = batch.sl[rows]
+        minus = np.zeros(b, bool)
+        minus[:nb] = batch.dm[rows] != 0
+        pos = np.zeros(b, np.int64)
+        pos[:nb] = batch.pos[rows]
+        isz = np.zeros(b, np.int64)
+        isz[:nb] = batch.isz[rows]
+        lmax = _round_up(max(int(qlen.max()), 8), 128)
+        soff = np.ascontiguousarray(batch.so[rows])
+        slen = np.ascontiguousarray(batch.sl[rows])
+        blob = batch.blob
+        pack_fn = lambda meta: _native_pack_close_at(  # noqa: E731
+            blob, soff, slen, nb, b, lmax, meta)
+        codes_fn = lambda: _native_codes_at(blob, soff, slen, nb, b,  # noqa: E731
+                                            lmax)
+        return self._close_dispatch_core(
+            nb, b, lmax, qlen, minus, pos, isz, base, results, bp_start,
+            pack_fn, codes_fn)
+
+    def _close_dispatch_core(self, nb, b, lmax, qlen, minus, pos, isz,
+                             base, results, bp_start, pack_fn, codes_fn):
+        from pindel_tpu.genome import SPACER
+        from pindel_tpu.profiling import g_timer
+        t0 = time.monotonic()
         ms, tm, thr = self._budgets(qlen, nb)
         # attempt windows (close_end_lane geometry, pindel.cpp:2271-2316)
         win = np.zeros((2, b, 2), np.int64)
@@ -1149,7 +1224,7 @@ class FusedJaxBackend:
         w1 = self._w_bucket(max(int((win[1, :, 1] - win[1, :, 0]).max()), 1))
         qlen[nb:] = 1                      # padding rows: never active
         st = dict(dev=None, base=base, nb=nb, b=b, qlen=qlen,
-                  blob=blob, offs=offs, minus=minus, win=win, w0=w0,
+                  codes_fn=codes_fn, minus=minus, win=win, w0=w0,
                   w1=w1, lmax=lmax, bp_start=bp_start,
                   lsteps=_round_up(int(qlen[:nb].max()), 16))
         if w0 + lmax > SPACER:
@@ -1172,7 +1247,7 @@ class FusedJaxBackend:
                 results[base + i] = (None, -1, True)
             return st
         meta = _close_meta(pos, isz, qlen, ms, tm, thr, minus)
-        payload = _native_pack_close(blob, offs, nb, b, lmax, meta)
+        payload = pack_fn(meta)
         t1 = time.monotonic()
         g_timer.add("fused: pack close", t1 - t0)
         st["dev"] = self._close_call(
@@ -1214,8 +1289,7 @@ class FusedJaxBackend:
 
         def _decode():
             t3 = time.monotonic()
-            codes = _native_codes(st["blob"], st["offs"], nb, st["b"],
-                                  lmax)
+            codes = st["codes_fn"]()
             r0 = np.flatnonzero(winner < 2)
             if r0.size:
                 self._decode_close_rows(

@@ -302,14 +302,12 @@ class Pipeline:
         self.g_max_pos = self._input_max_pos
         taken: List[SplitRead] = []
         if self._stream is not None:
-            taken = self._stream.window_reads(
+            batch = self._stream.window_reads(
                 chrom.name, window.current_start, window.current_end)
-            for r in taken:
-                if r.matched_rel_pos > chrom.biol_size:
-                    r.matched_rel_pos = chrom.biol_size
-                if r.matched_rel_pos < 0:
-                    r.matched_rel_pos = 0
-            return taken
+            # MatchedRelPos clamp (reader.cpp:242-245) on the field
+            # arrays — objects materialize later from the clamped values
+            np.clip(batch.pos, 0, chrom.biol_size, out=batch.pos)
+            return batch
         entry = getattr(self, "_read_index", {}).get(chrom.name)
         if entry is None:
             return taken
@@ -582,14 +580,21 @@ class Pipeline:
             return
         self.state.region_start = window.current_start
         self.state.region_end = window.current_end
-        for r in reads:
-            # g_maxInsertSize update in GetCloseEndInner (pindel.cpp:2257)
-            # and g_sampleNames.insert for every in-window read
-            # (reader.cpp:290,335) — both strictly in window order
-            if r.insert_size > self.state.max_insert_size:
-                self.state.max_insert_size = r.insert_size
-            if not self.bam_input:
-                self.state.sample_names.add(r.tag)
+        # g_maxInsertSize update in GetCloseEndInner (pindel.cpp:2257)
+        # and g_sampleNames.insert for every in-window read
+        # (reader.cpp:290,335) — both strictly in window order
+        from pindel_tpu.textindex import ReadBatch
+        if isinstance(reads, ReadBatch):
+            if reads.n:
+                self.state.max_insert_size = max(
+                    self.state.max_insert_size, int(reads.isz.max()))
+            self.state.sample_names.update(reads.tags)
+        else:
+            for r in reads:
+                if r.insert_size > self.state.max_insert_size:
+                    self.state.max_insert_size = r.insert_size
+                if not self.bam_input:
+                    self.state.sample_names.add(r.tag)
         # RP discovery + BD-like event conversion (pindel.cpp:1837-1847),
         # then window rasterization.  Neither affects close-end mapping,
         # so they run after the close dispatch.  Sharding: only the

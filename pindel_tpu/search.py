@@ -164,10 +164,21 @@ class Searcher:
         """Dispatch the device work for close-end mapping without blocking
         (fused backends); returns a token for ``map_close_ends_finish``.
         The pipeline uses this to overlap window N+1's close kernels with
-        window N's host-side detection/reporting."""
+        window N's host-side detection/reporting.
+
+        A lazy ReadBatch (streaming text intake) dispatches straight from
+        its field arrays — SplitRead objects materialize later, only for
+        reads that actually mapped a close end."""
         if not hasattr(self.backend, "close_ends_dispatch"):
             return (chrom, reads, None, None)
         s = self.settings
+        from pindel_tpu.textindex import ReadBatch
+        if isinstance(reads, ReadBatch) and hasattr(
+                self.backend, "close_ends_dispatch_lazy"):
+            act = np.flatnonzero(reads.sl > 0)
+            pending = self.backend.close_ends_dispatch_lazy(
+                reads, act, s.min_close)
+            return (chrom, reads, ("batch", reads, act), pending)
         active = [r for r in reads if len(r.seq) > 0]
         for r in active:
             r.max_snp_error = int(self.maxmm[len(r.seq)])
@@ -196,10 +207,18 @@ class Searcher:
         kept_all: List[SplitRead] = []
         far_tokens = []
         only_close = self.settings.report_only_close_mapped_reads
+        batch_mode = isinstance(active, tuple) and active \
+            and active[0] == "batch"
         for lo, hi, results in self.backend.close_ends_decode_stream(
                 active, tok):
-            sub = active[lo:hi]
-            self._consume_close_results(chrom, sub, results[lo:hi])
+            if batch_mode:
+                _, batch, act = active
+                sub = self._consume_close_batch(chrom, batch,
+                                                act[lo:hi],
+                                                results[lo:hi])
+            else:
+                sub = active[lo:hi]
+                self._consume_close_results(chrom, sub, results[lo:hi])
             kept = self.finalize_close_ends(sub)
             kept_all.extend(kept)
             if kept and not only_close:
@@ -215,8 +234,48 @@ class Searcher:
             else:
                 self._map_close_rounds(chrom, reads, self.backend)
             return
+        if isinstance(active, tuple) and active and active[0] == "batch":
+            _, batch, act = active
+            results = self.backend.close_ends_decode(None, pending)
+            self._consume_close_batch(chrom, batch, act, results)
+            return
         results = self.backend.close_ends_decode(active, pending)
         self._consume_close_results(chrom, active, results)
+
+    def _consume_close_batch(self, chrom: Chromosome, batch, rows,
+                             results) -> List[SplitRead]:
+        """Batch twin of ``_consume_close_results``: materialize ONLY
+        reads with a decoded chain or a pending fallback; returns the
+        materialized reads in window order (callers finalize them)."""
+        import time
+
+        from pindel_tpu.profiling import g_fallback, g_timer
+        t0 = time.monotonic()
+        out: List[SplitRead] = []
+        fallback: List[SplitRead] = []
+        maxmm = self.maxmm
+        rl = rows.tolist()
+        for j, (chain, winner, needs_fb) in enumerate(results):
+            if chain is None and not needs_fb:
+                continue
+            r = batch.materialize(rl[j])
+            r.max_snp_error = int(maxmm[len(r.seq)])
+            out.append(r)
+            if needs_fb:
+                fallback.append(r)   # rerun full schedule from original
+                continue
+            if winner in (1, 2):     # persistent setUnmatchedSeq flip
+                r.seq = dna.flip_rc(r.seq)
+            dm = r.matched_d == MINUS
+            r.up_close = _anchorset_from_chain(chain, dm, not dm,
+                                               chrom.name)
+            r.used = False
+            r.close_end_mismatch = chain.full_mm
+        g_timer.add("search: consume close", time.monotonic() - t0)
+        g_fallback.add(len(results), len(fallback))
+        if fallback:
+            self._map_close_rounds(chrom, fallback, self._oracle())
+        return out
 
     def _map_close_fused(self, chrom: Chromosome,
                          reads: Sequence[SplitRead]) -> None:

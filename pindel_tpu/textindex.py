@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -82,6 +82,113 @@ def _pt_scan(data: bytes, final: bool):
     return int(cnt), int(consumed.value), fields, names, tags
 
 
+class ReadBatch:
+    """Lazy window read set over the raw record blob: parsed field
+    arrays up front, SplitRead objects materialized on demand — most
+    reads never map a close end and never need an object.  Iterating or
+    indexing materializes (compatibility with object-path consumers);
+    the fused search path consumes the arrays directly."""
+
+    __slots__ = ("blob", "no", "nl", "so", "sl", "dm", "pos", "ms",
+                 "isz", "cid", "tid", "names", "tags", "n", "_text",
+                 "_reads")
+
+    def __init__(self, blob: bytes, fields, names, tags):
+        self.blob = blob
+        (_rec, self.no, self.nl, self.so, self.sl, self.dm, self.pos,
+         self.ms, self.isz, self.cid, self.tid) = fields
+        self.names = names
+        self.tags = tags
+        self.n = int(self.no.shape[0])
+        self._text = None
+        self._reads: List[Optional[SplitRead]] = [None] * self.n
+
+    def __len__(self) -> int:
+        return self.n
+
+    def text(self) -> str:
+        if self._text is None:
+            self._text = self.blob.decode("ascii")
+        return self._text
+
+    def materialize(self, i: int) -> SplitRead:
+        r = self._reads[i]
+        if r is None:
+            text = self.text()
+            o = int(self.no[i])
+            s = int(self.so[i])
+            r = SplitRead.__new__(SplitRead)
+            r.__dict__ = {
+                "name": text[o:o + int(self.nl[i])],
+                "seq": text[s:s + int(self.sl[i])],
+                "matched_d": "-" if self.dm[i] else "+",
+                "frag_name": self.names[int(self.cid[i])],
+                "matched_rel_pos": int(self.pos[i]),
+                "ms": int(self.ms[i]),
+                "insert_size": int(self.isz[i]),
+                "tag": self.tags[int(self.tid[i])]}
+            self._reads[i] = r
+        return r
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self.materialize(k)
+                    for k in range(*i.indices(self.n))]
+        return self.materialize(i)
+
+    def __iter__(self):
+        for i in range(self.n):
+            yield self.materialize(i)
+
+    @staticmethod
+    def concat(batches: List["ReadBatch"]) -> "ReadBatch":
+        """Merge per-file batches (a -P config names several files) into
+        one window batch, remapping offsets and intern tables."""
+        if len(batches) == 1:
+            return batches[0]
+        blob = b"".join(b.blob for b in batches)
+        names: List[str] = []
+        tags: List[str] = []
+        nmap: Dict[str, int] = {}
+        tmap: Dict[str, int] = {}
+        cols = {k: [] for k in ("no", "nl", "so", "sl", "dm", "pos",
+                                "ms", "isz", "cid", "tid")}
+        base = 0
+        for b in batches:
+            cols["no"].append(b.no + base)
+            cols["so"].append(b.so + base)
+            for k in ("nl", "sl", "dm", "pos", "ms", "isz"):
+                cols[k].append(getattr(b, k))
+            cremap = np.array(
+                [nmap.setdefault(nm, len(nmap)) for nm in b.names],
+                np.int32) if b.names else np.zeros(0, np.int32)
+            tremap = np.array(
+                [tmap.setdefault(t, len(tmap)) for t in b.tags],
+                np.int32) if b.tags else np.zeros(0, np.int32)
+            cols["cid"].append(cremap[b.cid] if b.names else b.cid)
+            cols["tid"].append(tremap[b.tid] if b.tags else b.tid)
+            base += len(b.blob)
+        names = [None] * len(nmap)
+        for nm, i in nmap.items():
+            names[i] = nm
+        tags = [None] * len(tmap)
+        for t, i in tmap.items():
+            tags[i] = t
+        fields = (None,) + tuple(
+            np.concatenate(cols[k]) for k in ("no", "nl", "so", "sl",
+                                              "dm", "pos", "ms", "isz",
+                                              "cid", "tid"))
+        return ReadBatch(blob, fields, names, tags)
+
+
+def batch_from_buffer(blob: bytes) -> ReadBatch:
+    """Parse a buffer of whole records into a lazy ReadBatch."""
+    cnt, consumed, fields, names, tags = _pt_scan(blob, True)
+    if consumed != len(blob) and blob[consumed:].strip():
+        raise ValueError("record framing error in streaming intake")
+    return ReadBatch(blob, fields, names, tags)
+
+
 def records_from_buffer(blob: bytes) -> List[SplitRead]:
     """Parse a buffer of whole records into SplitReads (native scan +
     minimal per-record Python).  Only the parsed fields enter the
@@ -117,6 +224,11 @@ def records_from_buffer(blob: bytes) -> List[SplitRead]:
                           "seq": text[s:s + sll[i]]}
         ap(r)
     return out
+
+
+_EMPTY_FIELDS = (np.zeros(0, np.int64),) * 5 + (
+    np.zeros(0, np.int8),) + (np.zeros(0, np.int64),) * 3 + (
+    np.zeros(0, np.int32),) * 2
 
 
 class PindelTextIndex:
@@ -251,29 +363,30 @@ class PindelTextIndex:
         self._spills = []
 
     def window_reads(self, chrom_name: str, start: int, end: int
-                     ) -> List[SplitRead]:
-        """Parse the records with start <= pos < end, in config-file
-        order then file order (matching the in-RAM loader's restored
-        global read order)."""
+                     ) -> "ReadBatch":
+        """The records with start <= pos < end as a lazy ReadBatch, in
+        config-file order then file order (matching the in-RAM loader's
+        restored global read order)."""
         entry = self._by_chrom.get(chrom_name)
         if entry is None:
-            return []
+            return ReadBatch(b"", _EMPTY_FIELDS, [], [])
         pos, fid, off = entry
         lo = np.searchsorted(pos, start, side="left")
         hi = np.searchsorted(pos, end, side="left")
         if lo == hi:
-            return []
+            return ReadBatch(b"", _EMPTY_FIELDS, [], [])
         sel_f = fid[lo:hi]
         sel_o = off[lo:hi]
-        out: List[SplitRead] = []
+        batches: List[ReadBatch] = []
         for f in np.unique(sel_f).tolist():
             offs = np.sort(sel_o[sel_f == f])
-            out.extend(self._parse_records(int(f), offs))
-        return out
+            batches.append(batch_from_buffer(self._read_blob(int(f),
+                                                             offs)))
+        return ReadBatch.concat(batches)
 
-    def _parse_records(self, fid: int, offs: np.ndarray) -> List[SplitRead]:
-        """Read + parse the records at the given start offsets (sorted),
-        coalescing adjacent records into single reads."""
+    def _read_blob(self, fid: int, offs: np.ndarray) -> bytes:
+        """Read the records at the given start offsets (sorted),
+        coalescing adjacent records into single seeks."""
         fo = self._file_offsets[fid]
         idx = np.searchsorted(fo, offs)
         nxt = np.where(idx + 1 < fo.size, fo[np.minimum(idx + 1,
@@ -290,4 +403,4 @@ class PindelTextIndex:
             fh.seek(int(offs[k]))
             parts.append(fh.read(int(nxt[j] - offs[k])))
             k = j + 1
-        return records_from_buffer(b"".join(parts))
+        return b"".join(parts)
